@@ -1,0 +1,221 @@
+"""Complex-valued conv layers as single fused real convolutions.
+
+The reference implements complex conv2d as four separate real convolutions
+(rr - ii, ri + ir; reference ``tools_for_model.py:193-330``).  On TPU that
+wastes MXU occupancy, so here each complex conv is ONE real convolution over a
+block weight matrix::
+
+        [xr xi] * [[Wr  Wi]
+                   [-Wi Wr]]  =  [xr*Wr - xi*Wi,  xr*Wi + xi*Wr]
+
+Layout is channels-last ``[B, D(freq), T(time), 2C]`` with the first C feature
+channels real and the last C imaginary — the same (re, im) packing convention
+as the reference's channel-axis split, transposed to TPU-friendly NHWC.
+
+Parity notes (for golden tests against torch):
+- causal convs left-pad the time axis by ``kernel_t - 1``
+  (reference tools_for_model.py:237-240);
+- transpose conv reproduces torch ConvTranspose2d semantics exactly
+  (lhs dilation + flipped kernels + padding ``k-1-p`` / ``k-1-p+output_padding``);
+- weight init: normal(std=0.05), zero bias (tools_for_model.py:231-234, 298-301).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def split_complex(x: jnp.ndarray, axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    c = x.shape[axis] // 2
+    re = jax.lax.slice_in_dim(x, 0, c, axis=axis)
+    im = jax.lax.slice_in_dim(x, c, 2 * c, axis=axis)
+    return re, im
+
+
+def complex_cat(xs: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Concatenate packed-complex tensors keeping all real parts first.
+
+    Same contract as reference ``complex_cat`` (tools_for_model.py:181-190).
+    """
+    res, ims = [], []
+    for x in xs:
+        re, im = split_complex(x, axis)
+        res.append(re)
+        ims.append(im)
+    return jnp.concatenate(res + ims, axis=axis)
+
+
+def _block_weight(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """[kh,kw,I,O] pair -> [kh,kw,2I,2O] real block implementing complex mult."""
+    top = jnp.concatenate([wr, wi], axis=-1)  # xr -> (out_r, out_i)
+    bot = jnp.concatenate([-wi, wr], axis=-1)  # xi -> (out_r, out_i)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+class ComplexConv2d(nn.Module):
+    """Complex conv over [B, D, T, 2C_in] -> [B, D', T', 2C_out].
+
+    ``features``/input channels count the full packed width (real+imag), like
+    the reference's ``in_channels``/``out_channels`` (tools_for_model.py:207-215).
+    """
+
+    features: int  # 2 * C_out
+    kernel_size: Tuple[int, int] = (5, 2)  # (freq, time)
+    strides: Tuple[int, int] = (2, 1)
+    padding: Tuple[int, int] = (2, 1)  # (freq both sides, time)
+    causal: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1] // 2
+        c_out = self.features // 2
+        kh, kw = self.kernel_size
+        init = nn.initializers.normal(stddev=0.05)
+        wr = self.param("wr", init, (kh, kw, c_in, c_out), self.param_dtype)
+        wi = self.param("wi", init, (kh, kw, c_in, c_out), self.param_dtype)
+        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
+        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
+
+        pf, pt = self.padding
+        if pt != 0 and self.causal:
+            tpad = (pt, 0)
+        else:
+            tpad = (pt, pt)
+        w = _block_weight(wr, wi).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=self.strides,
+            padding=(( pf, pf), tpad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b = jnp.concatenate([br, bi]).astype(y.dtype)
+        return y + b
+
+
+class ComplexConvTranspose2d(nn.Module):
+    """Complex transpose conv matching torch ConvTranspose2d geometry.
+
+    (reference tools_for_model.py:265-330; decoder config DCCRN.py:111-141:
+    kernel (5,2), stride (2,1), padding (2,0), output_padding (1,0).)
+    """
+
+    features: int  # 2 * C_out
+    kernel_size: Tuple[int, int] = (5, 2)
+    strides: Tuple[int, int] = (2, 1)
+    padding: Tuple[int, int] = (2, 0)
+    output_padding: Tuple[int, int] = (1, 0)
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1] // 2
+        c_out = self.features // 2
+        kh, kw = self.kernel_size
+        init = nn.initializers.normal(stddev=0.05)
+        wr = self.param("wr", init, (kh, kw, c_in, c_out), self.param_dtype)
+        wi = self.param("wi", init, (kh, kw, c_in, c_out), self.param_dtype)
+        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
+        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
+
+        w = _block_weight(wr, wi).astype(x.dtype)
+        # transpose conv == conv with lhs dilation and flipped kernel
+        w = jnp.flip(w, axis=(0, 1))
+        (sf, st), (pf, pt) = self.strides, self.padding
+        of, ot = self.output_padding
+        pad = ((kh - 1 - pf, kh - 1 - pf + of), (kw - 1 - pt, kw - 1 - pt + ot))
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(sf, st),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b = jnp.concatenate([br, bi]).astype(y.dtype)
+        return y + b
+
+
+class PReLU(nn.Module):
+    """Single-alpha PReLU (torch nn.PReLU() default: one shared 0.25 slope)."""
+
+    init_alpha: float = 0.25
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.param(
+            "alpha",
+            nn.initializers.constant(self.init_alpha),
+            (1,),
+            self.param_dtype,
+        ).astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+class CPReLU(nn.Module):
+    """Per-part PReLU on packed complex input (reference cPReLU,
+    tools_for_model.py:123-135)."""
+
+    init_alpha: float = 0.25
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ar = self.param(
+            "alpha_r", nn.initializers.constant(self.init_alpha), (1,), self.param_dtype
+        ).astype(x.dtype)
+        ai = self.param(
+            "alpha_i", nn.initializers.constant(self.init_alpha), (1,), self.param_dtype
+        ).astype(x.dtype)
+        re, im = split_complex(x)
+        re = jnp.where(re >= 0, re, ar * re)
+        im = jnp.where(im >= 0, im, ai * im)
+        return jnp.concatenate([re, im], axis=-1)
+
+
+class BatchNorm(nn.Module):
+    """Real batchnorm over the packed channel axis (torch BatchNorm2d parity:
+    momentum 0.1, eps 1e-5, biased batch variance for normalization, running
+    stats updated with unbiased variance)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = True) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), self.param_dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), self.param_dtype)
+        )
+        if training:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+            n = x.size // c
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(
+                    self.param_dtype
+                )
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased.astype(
+                    self.param_dtype
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
+        return (x - mean.astype(x.dtype)) * inv * scale.astype(x.dtype) + bias.astype(
+            x.dtype
+        )
