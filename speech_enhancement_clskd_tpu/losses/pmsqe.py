@@ -1,0 +1,137 @@
+"""PMSQE — Perceptual Metric for Speech Quality Evaluation (training loss).
+
+JAX implementation of the PESQ-derived differentiable loss of Martin-Donas et
+al. 2018, the behavioural equivalent of the ``SingleSrcPMSQE`` dependency the
+reference pulls from asteroid (reference tools_for_loss.py:258-259, used by the
+'SDR+PMSQE' default loss mode, DCCRN.py:351-370).
+
+Pipeline per frame (power spectra in, scalar loss out):
+  1. bark-band integration of the 512-bin power spectrum (49 bands @ 16 kHz,
+     42 @ 8 kHz),
+  2. gain equalization of the degraded spectrum against the reference,
+  3. Zwicker-law loudness mapping,
+  4. symmetric disturbance (masked absolute loudness difference) and
+     asymmetric disturbance (weighted towards additive distortions),
+  5. weighted sum, averaged over frames.
+
+The bark decomposition matrix is *computed* from the Zwicker bark scale
+(13*atan(0.00076 f) + 3.5*atan((f/7500)^2)) rather than copied from the ITU
+tables, so absolute values differ slightly from P.862-exact implementations;
+the loss is monotone in perceptual degradation, which is the training-relevant
+property.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import stft_magnitude
+
+
+def _bark(f: np.ndarray) -> np.ndarray:
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+@functools.lru_cache(maxsize=4)
+def bark_matrix(fft_size: int = 512, sample_rate: int = 16000) -> Tuple[np.ndarray, np.ndarray]:
+    """[n_bands, F] band-integration matrix + band center frequencies."""
+    n_bands = 49 if sample_rate == 16000 else 42
+    F = fft_size // 2 + 1
+    freqs = np.arange(F) * sample_rate / fft_size
+    z = _bark(freqs)
+    z_max = _bark(np.array([sample_rate / 2.0]))[0]
+    edges = np.linspace(0.0, z_max, n_bands + 1)
+    mat = np.zeros((n_bands, F), dtype=np.float32)
+    centers = np.zeros(n_bands, dtype=np.float32)
+    for b in range(n_bands):
+        m = (z >= edges[b]) & (z < edges[b + 1])
+        if not m.any():  # guarantee every band is non-empty
+            idx = np.argmin(np.abs(z - 0.5 * (edges[b] + edges[b + 1])))
+            m = np.zeros(F, bool)
+            m[idx] = True
+        mat[b, m] = 1.0
+        centers[b] = freqs[m].mean()
+    return mat, centers
+
+
+# Zwicker loudness: S_l * (P0/0.5)^0.23 * [(0.5 + 0.5*P/P0)^0.23 - 1]
+_SL = 1.866055e-1  # loudness scaling (PESQ Sl)
+_ZWICKER_POWER = 0.23
+
+
+@functools.lru_cache(maxsize=4)
+def _abs_thresh_power(sample_rate: int, fft_size: int) -> np.ndarray:
+    """Absolute hearing threshold per bark band (terhardt approximation)."""
+    _, centers = bark_matrix(fft_size, sample_rate)
+    f = np.maximum(centers, 20.0) / 1000.0
+    thr_db = (
+        3.64 * f ** -0.8
+        - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+        + 1e-3 * f ** 4
+    )
+    thr_db = np.clip(thr_db, -10.0, 96.0)
+    return (10.0 ** (thr_db / 10.0)).astype(np.float32)
+
+
+def pmsqe(
+    ref_mag: jnp.ndarray,
+    deg_mag: jnp.ndarray,
+    sample_rate: int = 16000,
+    fft_size: int = 512,
+    alpha: float = 0.1,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """PMSQE loss from magnitude spectrograms [..., T, F] (lower is better)."""
+    mat, _ = bark_matrix(fft_size, sample_rate)
+    mat_t = jnp.asarray(mat.T)  # [F, n_bands]
+    p0 = jnp.asarray(_abs_thresh_power(sample_rate, fft_size))
+
+    ref_p = (ref_mag**2) @ mat_t  # bark power bands [..., T, n_bands]
+    deg_p = (deg_mag**2) @ mat_t
+
+    # gain equalization of degraded towards reference (audible-power ratio)
+    aud_r = jnp.sum(jnp.where(ref_p > p0, ref_p, 0.0), axis=(-1, -2), keepdims=True)
+    aud_d = jnp.sum(jnp.where(deg_p > p0, deg_p, 0.0), axis=(-1, -2), keepdims=True)
+    gain = (aud_r + 5e3) / (aud_d + 5e3)
+    deg_p = deg_p * gain
+
+    def loudness(p):
+        return (
+            _SL
+            * (p0 / 0.5) ** _ZWICKER_POWER
+            * ((0.5 + 0.5 * p / p0) ** _ZWICKER_POWER - 1.0)
+        )
+
+    l_ref = loudness(ref_p)
+    l_deg = loudness(deg_p)
+
+    # symmetric disturbance with masking deadzone
+    m = 0.25 * jnp.minimum(l_ref, l_deg)
+    d = jnp.abs(l_deg - l_ref)
+    d_sym = jnp.maximum(d - m, 0.0)
+
+    # asymmetric disturbance: emphasize additive (deg > ref) distortion
+    ratio = (deg_p + 50.0) / (ref_p + 50.0)
+    asym = jnp.clip(ratio**1.2, 0.0, 12.0)
+    asym = jnp.where(asym < 3.0, 0.0, asym)
+    d_asym = d_sym * asym
+
+    per_frame = jnp.mean(d_sym, axis=-1) + alpha * jnp.mean(d_asym, axis=-1)
+    return jnp.mean(per_frame)
+
+
+def pmsqe_from_wav(
+    ref_wav: jnp.ndarray,
+    deg_wav: jnp.ndarray,
+    sample_rate: int = 16000,
+) -> jnp.ndarray:
+    """Waveform front-end: 512-pt STFT / hop 256 magnitudes, then PMSQE
+    (matches the reference's pmsqe_stft Encoder(STFTFB(512, 512, 256)),
+    tools_for_loss.py:258)."""
+    ref_mag = stft_magnitude(ref_wav, 512, 256, 512, "hann")
+    deg_mag = stft_magnitude(deg_wav, 512, 256, 512, "hann")
+    return pmsqe(ref_mag, deg_mag, sample_rate=sample_rate)

@@ -1,0 +1,163 @@
+"""Loss library golden tests vs torch implementations of the documented
+reference formulas (tools_for_loss.py, framework.py)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from speech_enhancement_clskd_tpu import losses
+from speech_enhancement_clskd_tpu.losses import modes as loss_modes
+from speech_enhancement_clskd_tpu.losses.pmsqe import pmsqe_from_wav
+from speech_enhancement_clskd_tpu.ops import stft as stft_ops
+
+
+@pytest.fixture
+def wavs(rng):
+    a = rng.standard_normal((4, 16000)).astype(np.float32) * 0.1
+    b = a + 0.02 * rng.standard_normal((4, 16000)).astype(np.float32)
+    return a, b
+
+
+def test_sdr_matches_torch(wavs):
+    a, b = wavs
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    sn = torch.sum(ta * ta, -1, keepdim=True)
+    err = torch.sum((ta - tb) * (ta - tb), -1, keepdim=True)
+    ref = torch.mean(10 * torch.log10(sn**2 / (err**2 + 1e-8))).item()
+    ours = float(losses.sdr(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_si_snr_si_sdr_sanity(wavs):
+    a, b = wavs
+    # identical signals -> very high; scaled signal -> unchanged (scale-invariance)
+    high = float(losses.si_snr(jnp.asarray(a), jnp.asarray(a)))
+    assert high > 70
+    v1 = float(losses.si_snr(jnp.asarray(b), jnp.asarray(a)))
+    v2 = float(losses.si_snr(jnp.asarray(b), jnp.asarray(2 * a)))
+    np.testing.assert_allclose(v1, v2, rtol=1e-3)
+    s = float(losses.si_sdr(jnp.asarray(a), jnp.asarray(b)))
+    assert 5 < s < 40
+
+
+def test_mrstft_matches_torch(wavs):
+    a, b = wavs
+
+    def torch_mag(x, fft, hop, win):
+        w = torch.hann_window(win)
+        s = torch.stft(torch.from_numpy(x), fft, hop, win, w, return_complex=True)
+        return torch.sqrt(torch.clamp(s.real**2 + s.imag**2, min=1e-7)).transpose(2, 1)
+
+    sc_ref = mag_ref = 0.0
+    cfgs = [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240)]
+    for fft, hop, win in cfgs:
+        xm, ym = torch_mag(b, fft, hop, win), torch_mag(a, fft, hop, win)
+        sc_ref += (torch.norm(ym - xm, p="fro") / torch.norm(ym, p="fro")).item()
+        mag_ref += F.l1_loss(torch.log(ym), torch.log(xm)).item()
+    sc_ref, mag_ref = 0.1 * sc_ref / 3, 0.1 * mag_ref / 3
+
+    sc, mag = losses.multi_resolution_stft_loss(
+        jnp.asarray(b), jnp.asarray(a),
+        fft_sizes=[c[0] for c in cfgs],
+        hop_sizes=[c[1] for c in cfgs],
+        win_lengths=[c[2] for c in cfgs],
+    )
+    np.testing.assert_allclose(float(sc), sc_ref, rtol=1e-3)
+    np.testing.assert_allclose(float(mag), mag_ref, rtol=1e-3)
+
+
+def test_spkd_matches_torch(rng):
+    s = rng.standard_normal((8, 16, 10)).astype(np.float32)
+    t = rng.standard_normal((8, 64, 10)).astype(np.float32)
+
+    def torch_spkd(student, teacher):
+        def gram(z):
+            z = torch.flatten(z, 1)
+            return F.normalize(torch.matmul(z, torch.t(z)), 1)
+
+        g_t, g_s = gram(torch.from_numpy(teacher)), gram(torch.from_numpy(student))
+        return (torch.norm(g_t - g_s) ** 2).item() / teacher.shape[0] ** 2
+
+    ours = float(losses.spkd_loss(jnp.asarray(s), jnp.asarray(t), "batchmean"))
+    np.testing.assert_allclose(ours, torch_spkd(s, t), rtol=1e-4)
+
+
+def test_hcl_matches_torch(rng):
+    fs = [rng.standard_normal((4, 16, 12)).astype(np.float32) for _ in range(3)]
+    ft = [rng.standard_normal((4, 16, 12)).astype(np.float32) for _ in range(3)]
+
+    ref = 0.0
+    for a, b in zip(fs, ft):
+        ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+        loss = F.mse_loss(ta, tb)
+        cnt = tot = 1.0
+        for l in (4, 2, 1):
+            if l >= a.shape[-2]:
+                continue
+            pa = F.adaptive_avg_pool2d(ta, (l, l))
+            pb = F.adaptive_avg_pool2d(tb, (l, l))
+            cnt /= 2.0
+            loss = loss + F.mse_loss(pa, pb) * cnt
+            tot += cnt
+        ref += (loss / tot).item()
+
+    ours = float(losses.hcl([jnp.asarray(x) for x in fs],
+                            [jnp.asarray(x) for x in ft]))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_mel_filterbank_matches_reference_construction():
+    fb = losses.mel_filterbank(16, 512, 16000)
+    assert fb.shape == (16, 257)
+    # triangular filters: non-negative, peak 1, each filter contiguous support
+    assert (fb >= 0).all() and fb.max() <= 1.0
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_perceptual_distance_orders(rng):
+    clean = np.abs(rng.standard_normal((257, 100))).astype(np.float32) + 0.5
+    near = clean * 1.05
+    far = clean * 3.0
+    d_near = float(losses.perceptual_distance(jnp.asarray(clean), jnp.asarray(near)))
+    d_far = float(losses.perceptual_distance(jnp.asarray(clean), jnp.asarray(far)))
+    assert 0 <= d_near < d_far
+
+
+def test_pmsqe_orders(rng):
+    clean = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    slight = clean + 0.005 * rng.standard_normal((2, 16000)).astype(np.float32)
+    heavy = clean + 0.1 * rng.standard_normal((2, 16000)).astype(np.float32)
+    p0 = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(clean)))
+    p1 = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(slight)))
+    p2 = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(heavy)))
+    assert p0 < p1 < p2
+    assert p0 < 0.05
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["MSE", "SDR", "SI-SNR", "SI-SDR", "MSE+SI-SNR", "SI-SNR+SI-SDR",
+     "SDR+PMSQE", "MSE+PMSQE", "SI-SNR+PMSQE"],
+)
+def test_loss_modes_finite(wavs, mode):
+    a, b = wavs
+    val = float(loss_modes.dccrn_loss(jnp.asarray(b), jnp.asarray(a), loss_mode=mode))
+    assert np.isfinite(val)
+
+
+def test_loss_modes_with_mel(wavs, rng):
+    a, b = wavs
+    k = stft_ops.make_kernels()
+    spec = stft_ops.stft(jnp.asarray(b), k)
+    er, ei = spec[:, :257], spec[:, 257:]
+    for mode in ["MSE+LMS", "SDR+LMS", "SI-SNR+LMS"]:
+        val = float(
+            loss_modes.dccrn_loss(
+                jnp.asarray(b), jnp.asarray(a), er, ei, loss_mode=mode,
+                stft_kernels=k,
+            )
+        )
+        assert np.isfinite(val), mode
