@@ -1,0 +1,4 @@
+from .wav import read_wav, write_wav
+from .synthetic import SyntheticEnhancementDataset
+from .librimix import LibriMixDataset
+from .loader import make_loader

@@ -1,0 +1,115 @@
+"""Attention-based fusion (ABF) + ReviewKD cross-layer feature chain.
+
+TPU-native redesign of reference ``framework.py:176-284``:
+
+- flax modules created ONCE and **included in the optimizer** — the reference
+  rebuilt randomly-initialized ABFs inside every training step and never
+  trained them (distill.py:92, framework.py:266; its hard-coded ``.cuda()``
+  calls are gone too).  Set ``DistillConfig.abf_reinit_each_step`` for a
+  bit-faithful reproduction of that quirk (fresh params from a per-step rng).
+- geometry (per-map in/out channels, freq shapes) is inferred from the actual
+  student/teacher tap shapes instead of hard-coded tables
+  (framework.py:266-284), so any DCCRNConfig pair works.
+
+Processing order matches the reference semantics: deepest (smallest freq) map
+first with no fusion, residual propagated towards shallower maps with
+nearest-neighbour freq-axis resize, outputs returned in the original tap-list
+order so they zip 1:1 with the teacher taps.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.complex_layers import BatchNorm
+
+
+def _resize_freq(x: jnp.ndarray, d_out: int) -> jnp.ndarray:
+    """Nearest-neighbour resize of the freq axis of [B, D, T, C] (reference
+    F.interpolate(mode='nearest') on the (shape, w) plan, framework.py:212-215)."""
+    if x.shape[1] == d_out:
+        return x
+    return jax.image.resize(
+        x, (x.shape[0], d_out, x.shape[2], x.shape[3]), method="nearest"
+    )
+
+
+class ABF(nn.Module):
+    """One fusion block: 1x1 conv->BN, optional 2-way sigmoid attention fusion
+    with the propagated residual, 3x3 conv->BN out (framework.py:176-224)."""
+
+    mid_channels: int
+    out_channels: int
+    fuse: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # student tap [B, D, T, C]
+        residual: Optional[jnp.ndarray] = None,  # [B, D_prev, T, mid]
+        training: bool = True,
+    ):
+        kaiming = nn.initializers.kaiming_uniform()
+        x = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
+                    kernel_init=kaiming, name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, training=training)
+        if self.fuse and residual is not None:
+            y = _resize_freq(residual, x.shape[1])
+            z = nn.Conv(2, (1, 1), name="att_conv")(
+                jnp.concatenate([x, y], axis=-1)
+            )
+            z = jax.nn.sigmoid(z)
+            x = x * z[..., 0:1] + y * z[..., 1:2]
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                      kernel_init=kaiming, name="conv2")(x)
+        out = BatchNorm(name="bn2")(out, training=training)
+        return out, x
+
+
+class ReviewKD(nn.Module):
+    """Chain ABFs over a tap list.
+
+    ``out_channels[i]`` is the teacher channel count of tap i (tap-list order).
+    ``reverse=True`` for encoder taps (list is shallow->deep, so processing
+    starts from the end); decoder tap lists already lead with the deepest map.
+    """
+
+    out_channels: Sequence[int]
+    mid_channels: int
+    reverse: bool = True
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], training: bool = True
+    ) -> List[jnp.ndarray]:
+        xs = list(feats[::-1] if self.reverse else feats)
+        outs_ch = list(
+            self.out_channels[::-1] if self.reverse else self.out_channels
+        )
+        results: List[jnp.ndarray] = []
+        res = None
+        for i, f in enumerate(xs):
+            out, res = ABF(
+                self.mid_channels, outs_ch[i], fuse=i > 0, name=f"abf{i}"
+            )(f, res, training=training)
+            results.append(out)
+        return results[::-1] if self.reverse else results
+
+
+def review_kd_for_taps(
+    student_taps: Sequence[jnp.ndarray],
+    teacher_taps: Sequence[jnp.ndarray],
+    mid_channels: Optional[int] = None,
+    reverse: bool = True,
+) -> ReviewKD:
+    """Build a ReviewKD whose geometry follows the actual tap shapes."""
+    out_channels = tuple(int(t.shape[-1]) for t in teacher_taps)
+    if mid_channels is None:
+        mid_channels = min(512, max(int(s.shape[-1]) for s in student_taps))
+    return ReviewKD(
+        out_channels=out_channels, mid_channels=mid_channels, reverse=reverse
+    )

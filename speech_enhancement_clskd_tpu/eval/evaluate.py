@@ -1,0 +1,119 @@
+"""Offline evaluation harness (behavioural equivalent of reference eval.py).
+
+Loads a serialized student, runs full-length utterances, computes per-utterance
+metrics (si_sdr/sdr/sir/sar/stoi[/pesq]) plus their input_* baselines, writes
+the summary JSON (means + *_imp improvement deltas — eval.py:108-119) and
+saves n random example wav triptychs mixture/s0/s0_estimate (eval.py:89-101).
+
+TPU design notes:
+- variable-length utterances are bucketed to the next multiple of
+  ``bucket_s`` seconds and zero-padded, so XLA compiles one program per bucket
+  instead of one per length (the reference instead disabled cuDNN for long
+  sequences, eval.py:13);
+- STOI runs batched on device; bss_eval's Toeplitz solve runs on host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DCCRNConfig
+from ..data.wav import write_wav
+from ..metrics.bss import eval_metrics
+from ..models.dccrn import make_model
+from ..utils.serialization import load_bundle
+
+COMPUTE_METRICS = ["si_sdr", "sdr", "sir", "sar", "stoi", "pesq"]
+
+
+def _bucket_len(T: int, sr: int, bucket_s: float) -> int:
+    b = int(bucket_s * sr)
+    return -(-T // b) * b
+
+
+def evaluate_model(
+    cfg: DCCRNConfig,
+    variables: dict,
+    dataset,
+    sample_rate: int = 16000,
+    n_save_ex: int = 5,
+    ex_save_dir: Optional[str] = None,
+    results_path: Optional[str] = None,
+    bucket_s: float = 1.0,
+    compute_pesq: bool = True,
+    seed: int = 0,
+    log_fn=print,
+) -> Dict[str, float]:
+    model = make_model(cfg)
+
+    fwd_cache: Dict[int, any] = {}
+
+    def forward(mix_np: np.ndarray) -> np.ndarray:
+        T = len(mix_np)
+        L = _bucket_len(T, sample_rate, bucket_s)
+        if L not in fwd_cache:
+            fwd_cache[L] = jax.jit(
+                lambda v, w: model.apply(v, w, training=False).wav
+            )
+        pad = np.zeros(L, np.float32)
+        pad[:T] = mix_np
+        out = fwd_cache[L](variables, jnp.asarray(pad[None]))
+        return np.asarray(out)[0, :T]
+
+    save_idx = (
+        set(random.Random(seed).sample(range(len(dataset)), min(n_save_ex, len(dataset))))
+        if ex_save_dir
+        else set()
+    )
+
+    rows: List[Dict[str, float]] = []
+    for idx in range(len(dataset)):
+        item = dataset[idx]
+        mix, sources = item[0], item[1]
+        clean = sources[0]
+        est = forward(mix)
+        m = eval_metrics(mix, clean, est, sample_rate, compute_pesq=compute_pesq)
+        rows.append(m)
+        if idx in save_idx:
+            d = os.path.join(ex_save_dir, f"ex_{idx}")
+            os.makedirs(d, exist_ok=True)
+            write_wav(os.path.join(d, "mixture.wav"), mix, sample_rate)
+            write_wav(os.path.join(d, "s0.wav"), clean, sample_rate)
+            # normalize estimate to the mixture's scale (asteroid
+            # normalize_estimates behaviour, eval.py:75)
+            scale = np.max(np.abs(mix)) / (np.max(np.abs(est)) + 1e-8)
+            write_wav(os.path.join(d, "s0_estimate.wav"), est * scale,
+                      sample_rate)
+        if (idx + 1) % 50 == 0:
+            log_fn(f"eval {idx + 1}/{len(dataset)}")
+
+    final: Dict[str, float] = {}
+    for name in COMPUTE_METRICS:
+        vals = [r[name] for r in rows if name in r and np.isfinite(r[name])]
+        ivals = [
+            r["input_" + name]
+            for r in rows
+            if "input_" + name in r and np.isfinite(r["input_" + name])
+        ]
+        if not vals:
+            continue
+        final[name] = float(np.mean(vals))
+        if ivals:
+            final[name + "_imp"] = float(np.mean(vals) - np.mean(ivals))
+    if results_path:
+        os.makedirs(os.path.dirname(os.path.abspath(results_path)), exist_ok=True)
+        with open(results_path, "w") as f:
+            json.dump(final, f, indent=2)
+    return final
+
+
+def evaluate_bundle(bundle_path: str, dataset, **kw) -> Dict[str, float]:
+    cfg, variables, _ = load_bundle(bundle_path)
+    return evaluate_model(cfg, variables, dataset, **kw)

@@ -1,0 +1,106 @@
+"""Checkpoint/bundle round trips + top-k retention + eval harness smoke."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_clskd_tpu.config import (
+    DCCRNConfig,
+    DataConfig,
+    DistillConfig,
+    MeshConfig,
+    TrainConfig,
+)
+from speech_enhancement_clskd_tpu.data import SyntheticEnhancementDataset
+from speech_enhancement_clskd_tpu.eval import evaluate_model
+from speech_enhancement_clskd_tpu.models import make_model
+from speech_enhancement_clskd_tpu.train import Trainer
+from speech_enhancement_clskd_tpu.utils import (
+    CheckpointManager,
+    load_bundle,
+    save_bundle,
+    student_from_state,
+)
+
+TINY = DCCRNConfig(name="tiny", kernel_num=(4, 8, 8), rnn_units=16)
+
+
+def tiny_trainer():
+    cfg = TrainConfig(
+        teacher=DCCRNConfig(name="tt", kernel_num=(8, 16, 32), rnn_units=32),
+        student=TINY,
+        data=DataConfig(synthetic=True, synthetic_size=8, segment=0.5,
+                        batch_size=4),
+        distill=DistillConfig(strategy="mse"),
+        mesh=MeshConfig(data=1, model=1),
+    )
+    return Trainer(cfg)
+
+
+def test_bundle_roundtrip(tmp_path):
+    model = make_model(TINY)
+    wav = jnp.zeros((1, 4000), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), wav, training=True)
+    p = str(tmp_path / "bundle")
+    save_bundle(p, v["params"], v.get("batch_stats", {}), TINY)
+    cfg2, v2, meta = load_bundle(p)
+    assert cfg2 == TINY
+    assert meta["model_args"]["architecture"] == "tiny"
+    assert meta["model_args"]["n_freqs"] == 257
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # loaded bundle runs
+    out = model.apply(v2, wav, training=False)
+    assert out.wav.shape == (1, 4000)
+
+
+def test_checkpoint_topk_and_restore(tmp_path):
+    tr = tiny_trainer()
+    st = tr.init_state()
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="stoi", keep_top_k=2)
+
+    mix = jnp.zeros((4, 8000), jnp.float32)
+    scores = [0.5, 0.8, 0.3, 0.9]
+    kept = []
+    for s in scores:
+        st, _ = tr.train_step(st, mix, mix)
+        kept.append(mgr.save(st, {"stoi": s}))
+    # 0.3 should have been rejected (worse than both kept at the time)
+    assert kept == [True, True, False, True]
+    assert mgr.best_step() is not None
+    # restore best into an abstract state
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), jax.device_get(st)
+    )
+    restored = mgr.restore(abstract)
+    assert int(restored.step) in (2, 4)
+
+
+def test_student_bundle_then_eval(tmp_path):
+    tr = tiny_trainer()
+    st = tr.init_state()
+    v = student_from_state(st, TINY)
+    p = str(tmp_path / "student")
+    save_bundle(p, v["params"], v["batch_stats"], TINY)
+    cfg, variables, _ = load_bundle(p)
+
+    ds = SyntheticEnhancementDataset(size=3, segment=0.7, seed=1)
+    res = evaluate_model(
+        cfg, variables, ds,
+        n_save_ex=2, ex_save_dir=str(tmp_path / "ex"),
+        results_path=str(tmp_path / "results/All_metric.json"),
+        compute_pesq=False, log_fn=lambda *a: None,
+    )
+    assert "stoi" in res and "si_sdr" in res and "sdr_imp" in res
+    assert os.path.exists(tmp_path / "results/All_metric.json")
+    ex_dirs = list((tmp_path / "ex").iterdir())
+    assert len(ex_dirs) == 2
+    for d in ex_dirs:
+        assert {f.name for f in d.iterdir()} == {
+            "mixture.wav", "s0.wav", "s0_estimate.wav"
+        }

@@ -1,0 +1,106 @@
+"""End-to-end training: all 5 distillation strategies, loss descent, validate."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_clskd_tpu.config import (
+    DCCRNConfig,
+    DataConfig,
+    DistillConfig,
+    MeshConfig,
+    TrainConfig,
+)
+from speech_enhancement_clskd_tpu.train import Trainer
+
+TINY_T = DCCRNConfig(name="tiny-teacher", kernel_num=(8, 16, 32), rnn_units=32)
+TINY_S = DCCRNConfig(name="tiny-student", kernel_num=(4, 8, 8), rnn_units=16)
+
+
+def tiny_cfg(**kw):
+    return TrainConfig(
+        teacher=TINY_T,
+        student=TINY_S,
+        data=DataConfig(synthetic=True, synthetic_size=16, segment=0.5,
+                        batch_size=4),
+        mesh=MeshConfig(data=1, model=1),
+        max_epochs=1,
+        log_every=1000,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32) * 0.1)
+    return mix, mix * 0.9
+
+
+@pytest.mark.parametrize("strategy", ["mse", "stft", "spkd", "clskd", "reviewkd"])
+def test_one_step_each_strategy(batch, strategy):
+    cfg = tiny_cfg(distill=DistillConfig(strategy=strategy))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    mix, clean = batch
+    st2, logs = tr.train_step(st, mix, clean)
+    assert np.isfinite(float(logs["train_loss"]))
+    assert float(logs["grad_norm"]) > 0
+    assert int(st2.step) == 1
+    # student params actually moved
+    d0 = jax.tree.leaves(st2.student_params)[0]
+    assert np.isfinite(np.asarray(d0)).all()
+
+
+def test_abf_reinit_quirk(batch):
+    cfg = tiny_cfg(
+        distill=DistillConfig(strategy="clskd", abf_reinit_each_step=True)
+    )
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    mix, clean = batch
+    # snapshot before the step: the state is donated to the jitted step
+    a0 = np.asarray(jax.tree.leaves(st.abf_enc_params)[0]).copy()
+    st2, logs = tr.train_step(st, mix, clean)
+    assert np.isfinite(float(logs["train_loss"]))
+    # quirk mode: ABF params are NOT updated (they're not in the optimizer)
+    a1 = np.asarray(jax.tree.leaves(st2.abf_enc_params)[0])
+    np.testing.assert_array_equal(a0, a1)
+
+
+def test_abf_params_train_by_default(batch):
+    cfg = tiny_cfg(distill=DistillConfig(strategy="clskd"))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    mix, clean = batch
+    before = [np.asarray(l).copy() for l in jax.tree.leaves(st.abf_enc_params)]
+    st2, _ = tr.train_step(st, mix, clean)
+    after = [np.asarray(l) for l in jax.tree.leaves(st2.abf_enc_params)]
+    moved = any(not np.array_equal(a, b) for a, b in zip(before, after))
+    assert moved  # the fix over the reference: fusion convs actually learn
+
+
+def test_loss_decreases(batch):
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    mix, clean = batch
+    losses = []
+    for _ in range(8):
+        st, logs = tr.train_step(st, mix, clean)
+        losses.append(float(logs["train_loss"]))
+    assert losses[-1] < losses[0] * 0.98, losses
+
+
+def test_validate_and_fit_epoch():
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    _, val_ds = tr.make_datasets()
+    m = tr.validate(st, val_ds)
+    assert "si_sdr" in m and "si_sdr_imp" in m
+    assert np.isfinite(m["si_sdr"])
