@@ -1,0 +1,167 @@
+"""Command-line entry points.
+
+Replaces the reference's module-scope scripts (L7: distill.py + 4 siblings,
+eval.py, eval_teacher.py — SURVEY.md section 1) with one CLI:
+
+    python -m speech_enhancement_clskd_tpu distill --strategy clskd [k=v ...]
+    python -m speech_enhancement_clskd_tpu pretrain [k=v ...]
+    python -m speech_enhancement_clskd_tpu evaluate --bundle path [k=v ...]
+    python -m speech_enhancement_clskd_tpu bench
+
+Every config field is overridable as a dotted key=value (config.load_config),
+e.g. ``optim.lr=1e-3 data.batch_size=16 distill.strategy=spkd``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _parse(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser(prog="speech_enhancement_clskd_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("distill", help="knowledge-distillation training")
+    d.add_argument("--config", default=None, help="YAML config file")
+    d.add_argument("--strategy", default=None,
+                   choices=["clskd", "reviewkd", "spkd", "mse", "stft"])
+    d.add_argument("--teacher-bundle", default=None,
+                   help="pretrained teacher bundle (.npz)")
+    d.add_argument("--out", default="checkpoints",
+                   help="checkpoint/bundle output dir")
+    d.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+
+    t = sub.add_parser("pretrain", help="standalone DCCRN training (teacher)")
+    t.add_argument("--config", default=None)
+    t.add_argument("--model", default="teacher", choices=["teacher", "student"])
+    t.add_argument("--out", default="checkpoints_pretrain")
+    t.add_argument("overrides", nargs="*")
+
+    e = sub.add_parser("evaluate", help="offline metric evaluation")
+    e.add_argument("--bundle", required=True)
+    e.add_argument("--config", default=None)
+    e.add_argument("--results", default="results/All_metric.json")
+    e.add_argument("--examples", default=None, help="example wav dir")
+    e.add_argument("--no-pesq", action="store_true")
+    e.add_argument("overrides", nargs="*")
+
+    b = sub.add_parser("bench", help="train-step throughput bench")
+    b.add_argument("overrides", nargs="*")
+
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = _parse(argv)
+    # Respect an explicit JAX_PLATFORMS env var even when a sitecustomize has
+    # force-registered a platform via jax.config (e.g. the axon TPU plugin).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from .config import load_config
+
+    overrides = list(getattr(args, "overrides", []))
+    if getattr(args, "strategy", None):
+        overrides.append(f"distill.strategy={args.strategy}")
+    cfg = load_config(getattr(args, "config", None), overrides)
+
+    if args.command == "distill":
+        return _distill(cfg, args)
+    if args.command == "pretrain":
+        return _pretrain(cfg, args)
+    if args.command == "evaluate":
+        return _evaluate(cfg, args)
+    if args.command == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+        return 0
+    return 2
+
+
+def _distill(cfg, args) -> int:
+    from .train import Trainer
+    from .utils import CheckpointManager, save_bundle, student_from_state
+    from .utils.observability import MetricWriter
+
+    trainer = Trainer(cfg)
+    teacher_vars = None
+    if args.teacher_bundle:
+        from .utils import load_bundle
+
+        tcfg, tv, _ = load_bundle(args.teacher_bundle)
+        if tcfg.kernel_num != cfg.teacher.kernel_num:
+            raise SystemExit(
+                f"teacher bundle geometry {tcfg.kernel_num} != config "
+                f"{cfg.teacher.kernel_num}"
+            )
+        teacher_vars = tv
+
+    mgr = CheckpointManager(args.out, monitor=cfg.monitor,
+                            keep_top_k=cfg.keep_top_k)
+    writer = MetricWriter(os.path.join(args.out, "metrics.jsonl"))
+    state, history = trainer.fit(
+        teacher_variables=teacher_vars,
+        checkpoint_manager=mgr,
+        metric_writer=writer,
+    )
+    # publishable bundle of the final student (reference distill.py:280-294)
+    bundle_path = os.path.join(args.out, "the_best_model")
+    v = student_from_state(state, cfg.student)
+    save_bundle(bundle_path, v["params"], v["batch_stats"], cfg.student,
+                infos={"history": history, "strategy": cfg.distill.strategy})
+    print(json.dumps({"final_metrics": history,
+                      "bundle": bundle_path + ".npz"}))
+    return 0
+
+
+def _pretrain(cfg, args) -> int:
+    from .train.pretrain import PretrainTrainer
+    from .utils import CheckpointManager, save_bundle
+
+    model_cfg = cfg.teacher if args.model == "teacher" else cfg.student
+    trainer = PretrainTrainer(cfg, model_cfg=model_cfg)
+    mgr = CheckpointManager(args.out, monitor=cfg.monitor,
+                            keep_top_k=cfg.keep_top_k)
+    state, history = trainer.fit(checkpoint_manager=mgr)
+    bundle_path = os.path.join(args.out, f"{args.model}_model")
+    import jax
+
+    save_bundle(bundle_path, jax.device_get(state["params"]),
+                jax.device_get(state["batch_stats"]), model_cfg,
+                infos={"history": history, "loss_mode": cfg.loss_mode})
+    print(json.dumps({"final_metrics": history,
+                      "bundle": bundle_path + ".npz"}))
+    return 0
+
+
+def _evaluate(cfg, args) -> int:
+    from .data import LibriMixDataset, SyntheticEnhancementDataset
+    from .eval import evaluate_bundle
+
+    d = cfg.data
+    if d.synthetic:
+        ds = SyntheticEnhancementDataset(
+            size=d.synthetic_size, segment=d.segment,
+            sample_rate=d.sample_rate, seed=cfg.seed + 20_000)
+    else:
+        ds = LibriMixDataset(d.test_dir, d.task, d.sample_rate, d.n_src,
+                             segment=None)
+    res = evaluate_bundle(
+        args.bundle, ds,
+        sample_rate=d.sample_rate,
+        ex_save_dir=args.examples,
+        results_path=args.results,
+        compute_pesq=not args.no_pesq,
+    )
+    print(json.dumps(res, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -322,6 +322,8 @@ class Trainer:
         epochs: Optional[int] = None,
         log_fn=print,
         teacher_variables: Optional[dict] = None,
+        checkpoint_manager=None,
+        metric_writer=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         cfg = self.cfg
         if state is None:
@@ -341,10 +343,12 @@ class Trainer:
                 state, logs = self.train_step(state, mix_d, clean_d)
                 n += 1
                 if n % cfg.log_every == 0:
-                    log_fn(
-                        f"epoch {epoch} step {n}: "
-                        + " ".join(f"{k}={float(v):.4f}" for k, v in logs.items())
-                    )
+                    vals = {k: float(v) for k, v in logs.items()}
+                    log_fn(f"epoch {epoch} step {n}: "
+                           + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+                    if metric_writer is not None:
+                        metric_writer.write(int(state.step), vals,
+                                            scope="train")
             dt = time.time() - t0
             metrics = self.validate(state, val_ds)
             metrics["epoch_time_s"] = dt
@@ -352,6 +356,12 @@ class Trainer:
             metrics["audio_s_per_s"] = n * cfg.data.batch_size * seg / dt
             log_fn(f"epoch {epoch} done: "
                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+            if metric_writer is not None:
+                metric_writer.write(int(state.step), metrics, scope="val")
+            if checkpoint_manager is not None:
+                # top-k retention on the monitored metric (reference
+                # ModelCheckpoint(monitor='stoi'), distill.py:252-258)
+                checkpoint_manager.save(state, metrics)
             history = metrics
         return state, history
 

@@ -180,8 +180,11 @@ class CheckpointManager:
         return os.path.join(self.directory, f"step_{step:08d}")
 
     def save(self, state, metrics: Dict[str, float]) -> bool:
-        """Save if the metric makes top-k; prune the worst.  Returns kept."""
-        step = int(state.step)
+        """Save if the metric makes top-k; prune the worst.  Returns kept.
+
+        ``state`` is any pytree with a ``step`` leaf (TrainState attribute or
+        dict key)."""
+        step = int(state["step"] if isinstance(state, dict) else state.step)
         score = float(metrics.get(self.monitor, float("-inf")))
         key = score if self.mode == "max" else -score
         if len(self._scores) >= self.keep_top_k:
