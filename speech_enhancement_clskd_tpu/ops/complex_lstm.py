@@ -39,10 +39,15 @@ class LSTM(nn.Module):
 
     torch-compatible gate order (i, f, g, o) and parameter split (w_ih, w_hh,
     b_ih, b_hh) so torch state_dicts map 1:1 (transposed) onto these params.
+
+    ``use_pallas``: None = auto (pallas sequence kernel on TPU, lax.scan
+    elsewhere); True/False forces the path.  The pallas kernel keeps W_hh and
+    the (h, c) carry in VMEM for the whole sequence (ops/pallas/lstm.py).
     """
 
     hidden: int
     unroll: int = 8
+    use_pallas: Optional[bool] = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,6 +71,16 @@ class LSTM(nn.Module):
             + (b_ih + b_hh).astype(dtype)
         )
         w_hh = w_hh.astype(dtype)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from .pallas.lstm import lstm_pallas_available
+
+            use_pallas = lstm_pallas_available() and state is None
+        if use_pallas:
+            from .pallas.lstm import lstm_seq
+
+            return lstm_seq(xw, w_hh).astype(dtype)
 
         if state is None:
             h0 = jnp.zeros((B, H), dtype)

@@ -1,0 +1,58 @@
+"""Multi-host initialization — the TPU-native communication backend.
+
+The reference had no distributed backend at all (SURVEY.md section 2.4: NCCL
+was reachable through Lightning but never configured).  On TPU pods the
+equivalent is ``jax.distributed.initialize()`` + a global device mesh; all
+collectives (gradient all-reduce over 'data', tensor-parallel collectives over
+'model') are inserted by XLA from sharding annotations and ride ICI within a
+slice / DCN across hosts.
+
+Usage on each host of a pod slice:
+
+    from speech_enhancement_clskd_tpu.parallel import distributed
+    distributed.initialize()            # no-op single-host
+    trainer = Trainer(cfg)              # mesh spans all global devices
+
+Data loading: each host feeds its local shard of the batch;
+``host_local_batch_slice`` gives the per-host slice of a global batch index
+range.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed when running multi-host; safe no-op when
+    single-process (no coordinator configured)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes or _env_int("JAX_NUM_PROCESSES")
+    pid = process_id if process_id is not None else _env_int("JAX_PROCESS_ID")
+    if coord is None or nproc in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+
+
+def _env_int(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
+def host_local_batch_slice(global_batch: int) -> Tuple[int, int]:
+    """[start, end) rows of the global batch this host should load."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch // n
+    return i * per, (i + 1) * per if i < n - 1 else global_batch
