@@ -112,6 +112,10 @@ class DistillConfig:
     abf_reinit_each_step: bool = False
     abf_mid_channels: int = 64
     distill_weight: float = 1.0
+    # dtype for feature taps entering fusion/SPKD; bfloat16 halves the HBM
+    # footprint of the (large) cross-layer activations and their gradients,
+    # roughly doubling the trainable batch per chip.
+    taps_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

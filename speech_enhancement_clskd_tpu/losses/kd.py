@@ -24,7 +24,8 @@ def _gram_l1(z: jnp.ndarray) -> jnp.ndarray:
     with eps=1e-12 (framework.py:157-159 passes p=1 positionally).
     """
     z = z.reshape(z.shape[0], -1)
-    g = z @ z.T  # [B, B] — MXU
+    # accumulate in f32 even for bf16 taps (preferred_element_type -> MXU)
+    g = jnp.dot(z, z.T, preferred_element_type=jnp.float32)
     norm = jnp.maximum(jnp.sum(jnp.abs(g), axis=1, keepdims=True), 1e-12)
     return g / norm
 
@@ -72,6 +73,8 @@ def hcl(
     weights (reference framework.py:287-306, with its 3-arg signature)."""
     total = 0.0
     for fs, ft in zip(fstudent, fteacher):
+        fs = fs.astype(jnp.float32)
+        ft = ft.astype(jnp.float32)
         h = fs.shape[-2]
         loss = jnp.mean((fs - ft) ** 2)
         cnt, tot = 1.0, 1.0

@@ -198,6 +198,17 @@ class Trainer:
             )[0]
             t_out = jax.lax.stop_gradient(t_out)
 
+            tdt = jnp.dtype(dcfg.taps_dtype)
+            if tdt != jnp.float32:
+                # cast the big cross-layer activations (and hence their grads)
+                # to save HBM; losses accumulate in f32 internally
+                s_out = s_out._replace(
+                    taps=jax.tree.map(lambda x: x.astype(tdt), s_out.taps)
+                )
+                t_out = t_out._replace(
+                    taps=jax.tree.map(lambda x: x.astype(tdt), t_out.taps)
+                )
+
             fe = fd = None
             mut: Dict[str, Any] = {"student_stats": s_mut["batch_stats"]}
             if use_fusion:
