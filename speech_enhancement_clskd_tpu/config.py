@@ -116,6 +116,9 @@ class DistillConfig:
     # footprint of the (large) cross-layer activations and their gradients,
     # roughly doubling the trainable batch per chip.
     taps_dtype: str = "float32"
+    # rematerialize ABF blocks in backward (recompute the teacher-sized fused
+    # maps instead of storing them) — enables larger per-chip batches.
+    abf_remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -190,9 +193,19 @@ def _set_dotted(d: Dict[str, Any], dotted: str, value: Any) -> None:
 
 def _parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    # YAML 1.1 parses '1e-3' as a string (needs '1.0e-3'); recover numerics
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+    return v
 
 
 def load_config(

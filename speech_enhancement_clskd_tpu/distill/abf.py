@@ -81,6 +81,8 @@ class ReviewKD(nn.Module):
     out_channels: Sequence[int]
     mid_channels: int
     reverse: bool = True
+    remat: bool = False  # checkpoint each ABF block: fused maps (teacher-
+    # sized, the memory hot spot) are recomputed in backward instead of stored
 
     @nn.compact
     def __call__(
@@ -90,12 +92,13 @@ class ReviewKD(nn.Module):
         outs_ch = list(
             self.out_channels[::-1] if self.reverse else self.out_channels
         )
+        block = nn.remat(ABF, static_argnums=(3,)) if self.remat else ABF
         results: List[jnp.ndarray] = []
         res = None
         for i, f in enumerate(xs):
-            out, res = ABF(
+            out, res = block(
                 self.mid_channels, outs_ch[i], fuse=i > 0, name=f"abf{i}"
-            )(f, res, training=training)
+            )(f, res, training)
             results.append(out)
         return results[::-1] if self.reverse else results
 

@@ -76,10 +76,11 @@ class Trainer:
         if self.use_fusion:
             enc_ch, dec_ch = _teacher_tap_channels(cfg.teacher)
             mid = cfg.distill.abf_mid_channels
+            rm = cfg.distill.abf_remat
             self.abf_enc = ReviewKD(out_channels=enc_ch, mid_channels=mid,
-                                    reverse=True)
+                                    reverse=True, remat=rm)
             self.abf_dec = ReviewKD(out_channels=dec_ch, mid_channels=mid,
-                                    reverse=False)
+                                    reverse=False, remat=rm)
         else:
             self.abf_enc = self.abf_dec = None
         self.tx = self._make_optimizer()
