@@ -33,6 +33,8 @@ def _parse(argv: Optional[List[str]] = None):
                    help="pretrained teacher bundle (.npz)")
     d.add_argument("--out", default="checkpoints",
                    help="checkpoint/bundle output dir")
+    d.add_argument("--resume", action="store_true",
+                   help="resume from the best checkpoint in --out")
     d.add_argument("overrides", nargs="*", help="dotted key=value overrides")
 
     t = sub.add_parser("pretrain", help="standalone DCCRN training (teacher)")
@@ -105,7 +107,19 @@ def _distill(cfg, args) -> int:
     mgr = CheckpointManager(args.out, monitor=cfg.monitor,
                             keep_top_k=cfg.keep_top_k)
     writer = MetricWriter(os.path.join(args.out, "metrics.jsonl"))
+    state = None
+    if args.resume and mgr.best_step() is not None:
+        import jax
+
+        template = trainer.init_state(teacher_variables=teacher_vars)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.device_get(template),
+        )
+        state = jax.device_put(mgr.restore(abstract))
+        print(f"resumed from step {int(state.step)}")
     state, history = trainer.fit(
+        state=state,
         teacher_variables=teacher_vars,
         checkpoint_manager=mgr,
         metric_writer=writer,
