@@ -39,6 +39,9 @@ class DCCRNConfig:
     """
 
     name: str = "dccrn"
+    # 'dccrn' = the reference's own DCCRN.py model; 'dccrnet' = the
+    # asteroid-compat serving family (models/dccrnet.py, checkpoint-importable)
+    family: str = "dccrn"
     stft: STFTConfig = field(default_factory=STFTConfig)
     kernel_num: Tuple[int, ...] = (32, 64, 128, 256, 256, 256)
     kernel_size: int = 5
@@ -68,6 +71,21 @@ class DCCRNConfig:
 TEACHER = DCCRNConfig(name="dccrn-cl")
 STUDENT = DCCRNConfig(
     name="dccrn-cl-test",
+    kernel_num=(8, 16, 32, 64, 64, 64),
+    rnn_units=64,
+)
+
+# asteroid-compat serving family (reference distill.py:245-247: teacher is the
+# HF DCCRNet, student is DCCRNet_mini 'DCCRN-CL-test'); sqrt-Hann frontend.
+DCCRNET_TEACHER = DCCRNConfig(
+    name="dccrnet-cl",
+    family="dccrnet",
+    stft=STFTConfig(window="sqrthann"),
+)
+DCCRNET_STUDENT = DCCRNConfig(
+    name="dccrnet-cl-test",
+    family="dccrnet",
+    stft=STFTConfig(window="sqrthann"),
     kernel_num=(8, 16, 32, 64, 64, 64),
     rnn_units=64,
 )

@@ -189,7 +189,11 @@ class DCCRN(nn.Module):
         return DCCRNOutput(out_wav, mask_real, mask_imag, est_real, est_imag, taps)
 
 
-def make_model(cfg: DCCRNConfig) -> DCCRN:
+def make_model(cfg: DCCRNConfig):
+    if getattr(cfg, "family", "dccrn") == "dccrnet":
+        from .dccrnet import DCCRNet
+
+        return DCCRNet(cfg=cfg)
     return DCCRN(cfg=cfg)
 
 

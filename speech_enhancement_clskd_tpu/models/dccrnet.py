@@ -1,0 +1,380 @@
+"""Asteroid-compat DCCRNet family (the reference's *serving* architecture).
+
+The five reference training scripts distill into the forked-asteroid
+``DCCRNet_mini`` (architecture ``DCCRN-CL-test``; reference ``distill.py:245-247``,
+``conf.yml:7``) and the shipped ``checkpoint/the_best_model.pth`` stores that
+geometry.  This module is a TPU-native flax reimplementation of that exact
+model family, so reference users can load their published checkpoints
+unchanged (``utils/serialization.load_reference_bundle``) and keep training /
+serving on TPU.
+
+Architecture (verified against the checkpoint's 182 tensors, the module repr
+and torchinfo summary embedded in reference ``test-asteroid.ipynb`` cells
+22/39, and end-to-end against the shipped ``example_CLSKD`` wavs — see
+``tests/asteroid_ref.py`` for the full evidence chain):
+
+- STFT frontend: 512-filter real-DFT conv, kernel 400, stride 100,
+  sqrt-Hann(400, periodic) window, rows scaled 1/sqrt(512) with DC/Nyquist
+  x 1/sqrt(2), phase origin at sample -56 (window centered in the 512 frame);
+  synthesis is the PLAIN transpose (no window-envelope normalization — the
+  scaling makes the transpose exact in the interior);
+- masker drops the Nyquist bin (256 freqs), runs 6 complex conv encoder
+  blocks (kernel (5,2), stride (2,1), freq pad 2, no bias) + OnReIm BN +
+  per-part PReLU, a 2-layer complex LSTM bottleneck (C-major [B,T,C*F]
+  flatten) + complex Linear back, 5 complex transposed-conv decoder blocks
+  with [out, skip] channel concat, and a biased complex transposed conv +
+  tanh-bounded complex mask output; the mask is Nyquist-zero-padded back and
+  complex-multiplied with the spectrum.
+
+TPU-first mapping: all complex convs are single fused block-weight real convs
+(``ops/complex_layers.py``), the LSTM stacks (re, im) on the batch axis and
+hoists input projections out of the scan (``ops/complex_lstm.py``), and the
+filterbank is two MXU matmuls with reshape-only framing/OLA (``ops/stft.py``).
+Feature taps mirror reference ``feature_extraction.py:53-120``: 6 encoder conv
+outs, [rnn_out] + 5 decoder outs (the reference hooks the Identity decoder
+too), and the layer-2 complex-LSTM output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..config import DCCRNConfig
+from ..ops.complex_layers import (
+    BatchNorm,
+    ComplexConv2d,
+    ComplexConvTranspose2d,
+    ComplexDense,
+    CPReLU,
+    complex_cat,
+)
+from ..ops.complex_lstm import NaiveComplexLSTM
+from ..ops.stft import frame, overlap_add
+from .dccrn import DCCRNOutput, FeatureTaps
+
+
+@functools.lru_cache(maxsize=8)
+def asteroid_filterbank(
+    n_filters: int = 512, kernel_size: int = 400
+) -> np.ndarray:
+    """[kernel, n_filters + 2] analysis basis, numerically identical to the
+    checkpoint's ``encoder.filterbank._filters`` (verified to 1e-7)."""
+    n = np.arange(kernel_size)
+    win = np.sin(np.pi * n / kernel_size)  # sqrt-Hann, periodic
+    k = np.arange(n_filters // 2 + 1)
+    off = (n_filters - kernel_size) // 2
+    phase = 2 * np.pi * k[None, :] * (n[:, None] + off) / n_filters
+    scale = np.full(n_filters // 2 + 1, 1.0 / np.sqrt(n_filters))
+    scale[0] /= np.sqrt(2.0)
+    scale[-1] /= np.sqrt(2.0)
+    cos_rows = np.cos(phase) * scale[None, :] * win[:, None]
+    sin_rows = -np.sin(phase) * scale[None, :] * win[:, None]
+    return np.concatenate([cos_rows, sin_rows], axis=1).astype(np.float32)
+
+
+def asteroid_stft(wav: jnp.ndarray, n_filters: int = 512, kernel_size: int = 400,
+                  stride: int = 100) -> jnp.ndarray:
+    """[B, L] -> packed [B, 2F, T] (F = n_filters//2+1), no padding/centering."""
+    fb = jnp.asarray(asteroid_filterbank(n_filters, kernel_size), wav.dtype)
+    frames = frame(wav, kernel_size, stride)  # [B, T, kernel]
+    return jnp.einsum("btw,wf->bft", frames, fb)
+
+
+def asteroid_istft(spec: jnp.ndarray, length: int, n_filters: int = 512,
+                   kernel_size: int = 400, stride: int = 100) -> jnp.ndarray:
+    """Packed [B, 2F, T] -> [B, length].  Plain transpose synthesis (the
+    asteroid Decoder applies no envelope normalization; edges taper)."""
+    fb = jnp.asarray(asteroid_filterbank(n_filters, kernel_size), spec.dtype)
+    frames = jnp.einsum("bft,wf->btw", spec, fb)
+    wav = overlap_add(frames, stride)
+    out_len = wav.shape[-1]
+    if out_len >= length:
+        return wav[..., :length]
+    return jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, length - out_len)])
+
+
+class DCCRNet(nn.Module):
+    """Flax DCCRNet/DCCRNet_mini.  ``cfg.kernel_num``/``rnn_units`` count the
+    packed (re+im) width, half per part — e.g. the shipped ``DCCRN-CL-test``
+    student is kernel_num (8,16,32,64,64,64), rnn_units 64."""
+
+    cfg: DCCRNConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        wav: jnp.ndarray,
+        training: bool = True,
+        bn_batch_stats: Optional[bool] = None,
+    ) -> DCCRNOutput:
+        cfg = self.cfg
+        n_filters = cfg.stft.fft_len
+        F = n_filters // 2 + 1
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        L = wav.shape[-1]
+
+        spec = asteroid_stft(wav, n_filters, cfg.stft.win_len, cfg.stft.hop)
+        re, im = spec[:, :F], spec[:, F:]  # [B, 257, T]
+
+        # drop Nyquist, packed channels-last [B, D=256, T, 2]
+        x = jnp.stack([re[:, :-1], im[:, :-1]], axis=-1).astype(cdtype)
+
+        enc_taps: List[jnp.ndarray] = []
+        for i, feats in enumerate(cfg.kernel_num):
+            x = ComplexConv2d(
+                features=feats,
+                kernel_size=(cfg.kernel_size, 2),
+                strides=(2, 1),
+                padding=(cfg.kernel_size // 2, 0),
+                causal=False,
+                use_bias=False,
+                name=f"enc{i}_conv",
+            )(x)
+            x = BatchNorm(name=f"enc{i}_bn")(
+                x, training=training, use_batch_stats=bn_batch_stats
+            )
+            x = CPReLU(name=f"enc{i}_prelu")(x)
+            enc_taps.append(x)
+
+        # complex LSTM bottleneck: [B, D, T, 2C] -> per-part [T, B, C*D]
+        B, D, T, C2 = x.shape
+        C = C2 // 2
+
+        def to_seq(part):  # [B, D, T, C] -> [T, B, C*D]  (C-major like torch)
+            return jnp.transpose(part, (2, 0, 3, 1)).reshape(T, B, C * D)
+
+        hr = to_seq(x[..., :C])
+        hi = to_seq(x[..., C:])
+        lstm_r_tap = lstm_i_tap = None
+        for li in range(cfg.rnn_layers):
+            hr, hi = NaiveComplexLSTM(
+                hidden_size=cfg.rnn_units,
+                projection_dim=None,
+                name=f"clstm{li}",
+            )(hr, hi)
+        lstm_r_tap, lstm_i_tap = hr, hi
+        h = ComplexDense(features=C * D, name="rnn_linear")(
+            jnp.concatenate([hr, hi], axis=-1)
+        )
+        hr, hi = h[..., : C * D], h[..., C * D :]
+
+        def from_seq(part):  # [T, B, C*D] -> [B, D, T, C]
+            return jnp.transpose(part.reshape(T, B, C, D), (1, 3, 0, 2))
+
+        x = jnp.concatenate([from_seq(hr), from_seq(hi)], axis=-1)
+
+        # decoders: [rnn_out (Identity tap), dec1..dec5]; cat [out, skip]
+        dec_taps: List[jnp.ndarray] = [x]
+        n = len(cfg.kernel_num)
+        for i in range(1, n):
+            x = complex_cat([x, enc_taps[n - i]], axis=-1)
+            x = ComplexConvTranspose2d(
+                features=cfg.kernel_num[n - 1 - i],
+                kernel_size=(cfg.kernel_size, 2),
+                strides=(2, 1),
+                padding=(cfg.kernel_size // 2, 0),
+                output_padding=(1, 0),
+                use_bias=False,
+                name=f"dec{i}_conv",
+            )(x)
+            x = BatchNorm(name=f"dec{i}_bn")(
+                x, training=training, use_batch_stats=bn_batch_stats
+            )
+            x = CPReLU(name=f"dec{i}_prelu")(x)
+            dec_taps.append(x)
+
+        x = complex_cat([x, enc_taps[0]], axis=-1)
+        m = ComplexConvTranspose2d(
+            features=2,
+            kernel_size=(cfg.kernel_size, 2),
+            strides=(2, 1),
+            padding=(cfg.kernel_size // 2, 0),
+            output_padding=(1, 0),
+            use_bias=True,
+            name="out_conv",
+        )(x)
+
+        # tanh-bounded complex mask (asteroid BoundComplexMask('tanh'))
+        mf = m.astype(jnp.float32)
+        mr, mi = mf[..., 0], mf[..., 1]  # [B, 256, T]
+        mag = jnp.sqrt(mr**2 + mi**2)
+        scale = jnp.tanh(mag) / jnp.maximum(mag, 1e-12)
+        mr = mr * scale
+        mi = mi * scale
+        # pad Nyquist back with zeros -> [B, 257, T]
+        mask_real = jnp.pad(mr, ((0, 0), (0, 1), (0, 0)))
+        mask_imag = jnp.pad(mi, ((0, 0), (0, 1), (0, 0)))
+
+        est_real = mask_real * re - mask_imag * im
+        est_imag = mask_real * im + mask_imag * re
+        out_spec = jnp.concatenate([est_real, est_imag], axis=1)
+        out_wav = asteroid_istft(
+            out_spec, L, n_filters, cfg.stft.win_len, cfg.stft.hop
+        )
+
+        taps = FeatureTaps(
+            encoder=enc_taps,
+            decoder=dec_taps,
+            lstm_real=lstm_r_tap,
+            lstm_imag=lstm_i_tap,
+        )
+        return DCCRNOutput(out_wav, mask_real, mask_imag, est_real, est_imag, taps)
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict import (asteroid publishable bundle -> flax variables)
+# ---------------------------------------------------------------------------
+
+ARCHITECTURES = {
+    # packed (re+im) widths; per-part is half of these
+    "DCCRN-CL": dict(kernel_num=(32, 64, 128, 256, 256, 256), rnn_units=256),
+    "DCCRN-CL-mini": dict(kernel_num=(16, 32, 64, 128, 128, 128), rnn_units=64),
+    "DCCRN-CL-test": dict(kernel_num=(8, 16, 32, 64, 64, 64), rnn_units=64),
+}
+
+
+def config_from_model_args(model_args: dict) -> DCCRNConfig:
+    """Build a DCCRNConfig from an asteroid bundle's ``model_args`` blob
+    (schema: reference ``distill.py:280-294`` / ``checkpoint/the_best_model.pth``)."""
+    from ..config import STFTConfig
+
+    arch = model_args.get("architecture", "DCCRN-CL-test")
+    if arch not in ARCHITECTURES:
+        raise ValueError(f"unknown DCCRN architecture {arch!r}")
+    geom = ARCHITECTURES[arch]
+    return DCCRNConfig(
+        name=arch.lower(),
+        family="dccrnet",
+        stft=STFTConfig(
+            sample_rate=int(model_args.get("sample_rate", 16000)),
+            win_len=int(model_args.get("stft_kernel_size", 400)),
+            hop=int(model_args.get("stft_stride", 100)),
+            fft_len=int(model_args.get("stft_n_filters", 512)),
+            window="sqrthann",
+        ),
+        kernel_num=tuple(geom["kernel_num"]),
+        rnn_units=geom["rnn_units"],
+    )
+
+
+def params_from_asteroid_state_dict(sd: dict, cfg: DCCRNConfig) -> dict:
+    """Map the torch state_dict onto this module's variables.
+
+    Key conventions (torch -> flax):
+    - conv weight (O, I, kh, kw) -> HWIO (kh, kw, I, O)
+    - deconv weight (I, O, kh, kw) -> (kh, kw, I, O)
+    - LSTM w_ih (4H, F) -> (F, 4H); gate order (i, f, g, o) matches torch
+    - complex bias pairs combine as (br - bi, br + bi) because asteroid's
+      ComplexMultiplicationWrapper adds each part's own bias *before* the
+      cross combination while our fused layers add it after.
+    """
+    a = lambda t: np.asarray(t, dtype=np.float32)
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst, src):
+        params[dst] = {
+            "scale": np.concatenate(
+                [a(sd[f"{src}.re_module.weight"]), a(sd[f"{src}.im_module.weight"])]
+            ),
+            "bias": np.concatenate(
+                [a(sd[f"{src}.re_module.bias"]), a(sd[f"{src}.im_module.bias"])]
+            ),
+        }
+        stats[dst] = {
+            "mean": np.concatenate(
+                [
+                    a(sd[f"{src}.re_module.running_mean"]),
+                    a(sd[f"{src}.im_module.running_mean"]),
+                ]
+            ),
+            "var": np.concatenate(
+                [
+                    a(sd[f"{src}.re_module.running_var"]),
+                    a(sd[f"{src}.im_module.running_var"]),
+                ]
+            ),
+        }
+
+    def prelu(dst, src):
+        params[dst] = {
+            "alpha_r": a(sd[f"{src}.re_module.weight"]),
+            "alpha_i": a(sd[f"{src}.im_module.weight"]),
+        }
+
+    n = len(cfg.kernel_num)
+    for i in range(n):
+        pre = f"masker.encoders.{i}"
+        params[f"enc{i}_conv"] = {
+            "wr": a(sd[f"{pre}.conv.re_module.weight"]).transpose(2, 3, 1, 0),
+            "wi": a(sd[f"{pre}.conv.im_module.weight"]).transpose(2, 3, 1, 0),
+        }
+        bn(f"enc{i}_bn", f"{pre}.norm")
+        prelu(f"enc{i}_prelu", f"{pre}.activation")
+
+    for li in range(cfg.rnn_layers):
+        pre = f"masker.encoders.{n}.rnn.rnns.{li}"
+        params[f"clstm{li}"] = {
+            "real_lstm": {
+                "w_ih": a(sd[f"{pre}.re_module.rnn.weight_ih_l0"]).T,
+                "w_hh": a(sd[f"{pre}.re_module.rnn.weight_hh_l0"]).T,
+                "b_ih": a(sd[f"{pre}.re_module.rnn.bias_ih_l0"]),
+                "b_hh": a(sd[f"{pre}.re_module.rnn.bias_hh_l0"]),
+            },
+            "imag_lstm": {
+                "w_ih": a(sd[f"{pre}.im_module.rnn.weight_ih_l0"]).T,
+                "w_hh": a(sd[f"{pre}.im_module.rnn.weight_hh_l0"]).T,
+                "b_ih": a(sd[f"{pre}.im_module.rnn.bias_ih_l0"]),
+                "b_hh": a(sd[f"{pre}.im_module.rnn.bias_hh_l0"]),
+            },
+        }
+
+    lr = a(sd[f"masker.encoders.{n}.linear.re_module.weight"]).T
+    li_ = a(sd[f"masker.encoders.{n}.linear.im_module.weight"]).T
+    lbr = a(sd[f"masker.encoders.{n}.linear.re_module.bias"])
+    lbi = a(sd[f"masker.encoders.{n}.linear.im_module.bias"])
+    params["rnn_linear"] = {
+        "wr": lr,
+        "wi": li_,
+        "br": lbr - lbi,
+        "bi": lbr + lbi,
+    }
+
+    for i in range(1, n):
+        pre = f"masker.decoders.{i}"
+        params[f"dec{i}_conv"] = {
+            "wr": a(sd[f"{pre}.deconv.re_module.weight"]).transpose(2, 3, 0, 1),
+            "wi": a(sd[f"{pre}.deconv.im_module.weight"]).transpose(2, 3, 0, 1),
+        }
+        bn(f"dec{i}_bn", f"{pre}.norm")
+        prelu(f"dec{i}_prelu", f"{pre}.activation")
+
+    obr = a(sd["masker.output_layer.0.re_module.bias"])
+    obi = a(sd["masker.output_layer.0.im_module.bias"])
+    params["out_conv"] = {
+        "wr": a(sd["masker.output_layer.0.re_module.weight"]).transpose(2, 3, 0, 1),
+        "wi": a(sd["masker.output_layer.0.im_module.weight"]).transpose(2, 3, 0, 1),
+        "br": obr - obi,
+        "bi": obr + obi,
+    }
+
+    to_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+
+def load_reference_bundle(path: str):
+    """Load an asteroid publishable ``.pth`` (pure Python, no torch) ->
+    ``(model, variables)`` ready for ``model.apply``."""
+    from ..utils.torch_zip import load_torch_checkpoint
+
+    ck = load_torch_checkpoint(path)
+    cfg = config_from_model_args(ck.get("model_args", {}))
+    model = DCCRNet(cfg=cfg)
+    variables = params_from_asteroid_state_dict(ck["state_dict"], cfg)
+    return model, variables

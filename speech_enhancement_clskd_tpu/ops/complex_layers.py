@@ -68,6 +68,7 @@ class ComplexConv2d(nn.Module):
     strides: Tuple[int, int] = (2, 1)
     padding: Tuple[int, int] = (2, 1)  # (freq both sides, time)
     causal: bool = True
+    use_bias: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,8 +79,6 @@ class ComplexConv2d(nn.Module):
         init = nn.initializers.normal(stddev=0.05)
         wr = self.param("wr", init, (kh, kw, c_in, c_out), self.param_dtype)
         wi = self.param("wi", init, (kh, kw, c_in, c_out), self.param_dtype)
-        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
-        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
 
         pf, pt = self.padding
         if pt != 0 and self.causal:
@@ -94,6 +93,10 @@ class ComplexConv2d(nn.Module):
             padding=(( pf, pf), tpad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if not self.use_bias:
+            return y
+        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
+        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
         b = jnp.concatenate([br, bi]).astype(y.dtype)
         return y + b
 
@@ -110,6 +113,7 @@ class ComplexConvTranspose2d(nn.Module):
     strides: Tuple[int, int] = (2, 1)
     padding: Tuple[int, int] = (2, 0)
     output_padding: Tuple[int, int] = (1, 0)
+    use_bias: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,8 +124,6 @@ class ComplexConvTranspose2d(nn.Module):
         init = nn.initializers.normal(stddev=0.05)
         wr = self.param("wr", init, (kh, kw, c_in, c_out), self.param_dtype)
         wi = self.param("wi", init, (kh, kw, c_in, c_out), self.param_dtype)
-        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
-        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
 
         w = _block_weight(wr, wi).astype(x.dtype)
         # transpose conv == conv with lhs dilation and flipped kernel
@@ -137,8 +139,46 @@ class ComplexConvTranspose2d(nn.Module):
             lhs_dilation=(sf, st),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if not self.use_bias:
+            return y
+        br = self.param("br", nn.initializers.zeros, (c_out,), self.param_dtype)
+        bi = self.param("bi", nn.initializers.zeros, (c_out,), self.param_dtype)
         b = jnp.concatenate([br, bi]).astype(y.dtype)
         return y + b
+
+
+class ComplexDense(nn.Module):
+    """Complex linear on packed input [..., 2F] -> [..., 2*features]:
+    (Wr + i Wi)(xr + i xi), torch Linear parity (asteroid's
+    ComplexMultiplicationWrapper(nn.Linear) in the DCCRN RNN bottleneck)."""
+
+    features: int  # per-part output width
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f_in = x.shape[-1] // 2
+        bound = 1.0 / (f_in**0.5)
+        init = nn.initializers.uniform(scale=2 * bound)
+
+        def uinit(key, shape, dtype):
+            return init(key, shape, dtype) - bound
+
+        wr = self.param("wr", uinit, (f_in, self.features), self.param_dtype)
+        wi = self.param("wi", uinit, (f_in, self.features), self.param_dtype)
+        xr, xi = split_complex(x)
+        dtype = x.dtype
+        wr = wr.astype(dtype)
+        wi = wi.astype(dtype)
+        yr = xr @ wr - xi @ wi
+        yi = xr @ wi + xi @ wr
+        if self.use_bias:
+            br = self.param("br", uinit, (self.features,), self.param_dtype)
+            bi = self.param("bi", uinit, (self.features,), self.param_dtype)
+            yr = yr + br.astype(dtype)
+            yi = yi + bi.astype(dtype)
+        return jnp.concatenate([yr, yi], axis=-1)
 
 
 class PReLU(nn.Module):
@@ -189,7 +229,18 @@ class BatchNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        training: bool = True,
+        use_batch_stats: bool = None,
+    ) -> jnp.ndarray:
+        """``use_batch_stats`` decouples *which* statistics normalize from
+        *whether* running stats update (which follows ``training`` alone).
+        Default None = follow ``training``.  ``use_batch_stats=True`` with
+        ``training=False`` reproduces the reference eval quirk: its
+        ``eval.py`` never calls ``model.eval()``, so inference uses
+        per-batch statistics (verified against the shipped example wavs)."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
@@ -199,13 +250,15 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), self.param_dtype)
         )
-        if training:
+        if use_batch_stats is None:
+            use_batch_stats = training
+        if use_batch_stats:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
             var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
             n = x.size // c
             unbiased = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
+            if training and not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(
                     self.param_dtype
