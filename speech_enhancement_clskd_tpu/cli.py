@@ -44,12 +44,23 @@ def _parse(argv: Optional[List[str]] = None):
     t.add_argument("overrides", nargs="*")
 
     e = sub.add_parser("evaluate", help="offline metric evaluation")
-    e.add_argument("--bundle", required=True)
+    e.add_argument("--bundle", required=True,
+                   help=".npz bundle or asteroid .pth (auto-detected)")
     e.add_argument("--config", default=None)
     e.add_argument("--results", default="results/All_metric.json")
     e.add_argument("--examples", default=None, help="example wav dir")
     e.add_argument("--no-pesq", action="store_true")
+    e.add_argument("--reference-bn", action="store_true",
+                   help="BatchNorm with per-utterance batch statistics, "
+                        "matching the reference eval.py (no model.eval())")
     e.add_argument("overrides", nargs="*")
+
+    i = sub.add_parser(
+        "import-torch",
+        help="convert an asteroid publishable .pth into a native .npz bundle",
+    )
+    i.add_argument("--pth", required=True)
+    i.add_argument("--out", required=True, help="output bundle path (.npz)")
 
     b = sub.add_parser("bench", help="train-step throughput bench")
     b.add_argument("overrides", nargs="*")
@@ -78,6 +89,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return _pretrain(cfg, args)
     if args.command == "evaluate":
         return _evaluate(cfg, args)
+    if args.command == "import-torch":
+        return _import_torch(args)
     if args.command == "bench":
         import bench  # repo-root bench.py
 
@@ -172,8 +185,34 @@ def _evaluate(cfg, args) -> int:
         ex_save_dir=args.examples,
         results_path=args.results,
         compute_pesq=not args.no_pesq,
+        bn_batch_stats=True if args.reference_bn else None,
     )
     print(json.dumps(res, indent=2))
+    return 0
+
+
+def _import_torch(args) -> int:
+    """Asteroid publishable .pth -> native .npz bundle (pure Python)."""
+    from .models.dccrnet import load_reference_bundle
+    from .utils import save_bundle
+    from .utils.torch_zip import load_torch_checkpoint
+
+    model, variables = load_reference_bundle(args.pth)
+    ck = load_torch_checkpoint(args.pth)
+    save_bundle(
+        args.out,
+        variables["params"],
+        variables["batch_stats"],
+        model.cfg,
+        infos={
+            "imported_from": args.pth,
+            "source_model_name": ck.get("model_name"),
+            "source_infos": ck.get("infos", {}),
+        },
+    )
+    print(json.dumps({"bundle": args.out if args.out.endswith(".npz")
+                      else args.out + ".npz",
+                      "architecture": model.cfg.name}))
     return 0
 
 

@@ -28,13 +28,16 @@ import flax.linen as nn
 from ..ops.complex_layers import BatchNorm
 
 
-def _resize_freq(x: jnp.ndarray, d_out: int) -> jnp.ndarray:
-    """Nearest-neighbour resize of the freq axis of [B, D, T, C] (reference
-    F.interpolate(mode='nearest') on the (shape, w) plan, framework.py:212-215)."""
-    if x.shape[1] == d_out:
+def _resize_freq(x: jnp.ndarray, d_out: int, t_out: Optional[int] = None) -> jnp.ndarray:
+    """Nearest-neighbour resize of the freq (and, when the model family
+    shrinks time per layer, time) axis of [B, D, T, C] — the reference does
+    F.interpolate(y, (shape, w), mode='nearest') where w is the *current*
+    map's time width (framework.py:212-215)."""
+    t_out = x.shape[2] if t_out is None else t_out
+    if x.shape[1] == d_out and x.shape[2] == t_out:
         return x
     return jax.image.resize(
-        x, (x.shape[0], d_out, x.shape[2], x.shape[3]), method="nearest"
+        x, (x.shape[0], d_out, t_out, x.shape[3]), method="nearest"
     )
 
 
@@ -58,7 +61,7 @@ class ABF(nn.Module):
                     kernel_init=kaiming, name="conv1")(x)
         x = BatchNorm(name="bn1")(x, training=training)
         if self.fuse and residual is not None:
-            y = _resize_freq(residual, x.shape[1])
+            y = _resize_freq(residual, x.shape[1], x.shape[2])
             z = nn.Conv(2, (1, 1), name="att_conv")(
                 jnp.concatenate([x, y], axis=-1)
             )

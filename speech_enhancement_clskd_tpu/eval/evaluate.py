@@ -50,7 +50,11 @@ def evaluate_model(
     compute_pesq: bool = True,
     seed: int = 0,
     log_fn=print,
+    bn_batch_stats: Optional[bool] = None,
 ) -> Dict[str, float]:
+    """``bn_batch_stats=True`` reproduces the reference eval quirk (its
+    eval.py never calls model.eval(), so BN normalizes with per-utterance
+    batch statistics — see ops.complex_layers.BatchNorm)."""
     model = make_model(cfg)
 
     fwd_cache: Dict[int, any] = {}
@@ -60,7 +64,9 @@ def evaluate_model(
         L = _bucket_len(T, sample_rate, bucket_s)
         if L not in fwd_cache:
             fwd_cache[L] = jax.jit(
-                lambda v, w: model.apply(v, w, training=False).wav
+                lambda v, w: model.apply(
+                    v, w, training=False, bn_batch_stats=bn_batch_stats
+                ).wav
             )
         pad = np.zeros(L, np.float32)
         pad[:T] = mix_np
@@ -115,5 +121,13 @@ def evaluate_model(
 
 
 def evaluate_bundle(bundle_path: str, dataset, **kw) -> Dict[str, float]:
+    """Evaluate either a native ``.npz`` bundle or an asteroid publishable
+    torch ``.pth`` (reference distill.py:280-294 output — loaded with the
+    pure-Python reader, no torch needed)."""
+    if bundle_path.endswith((".pth", ".pt", ".ckpt")):
+        from ..models.dccrnet import load_reference_bundle
+
+        model, variables = load_reference_bundle(bundle_path)
+        return evaluate_model(model.cfg, variables, dataset, **kw)
     cfg, variables, _ = load_bundle(bundle_path)
     return evaluate_model(cfg, variables, dataset, **kw)

@@ -66,7 +66,14 @@ class DCCRN(nn.Module):
     cfg: DCCRNConfig
 
     @nn.compact
-    def __call__(self, wav: jnp.ndarray, training: bool = True) -> DCCRNOutput:
+    def __call__(
+        self,
+        wav: jnp.ndarray,
+        training: bool = True,
+        bn_batch_stats: "Optional[bool]" = None,
+    ) -> DCCRNOutput:
+        """``bn_batch_stats`` overrides which statistics BatchNorm uses
+        (None = follow ``training``); see ops.complex_layers.BatchNorm."""
         cfg = self.cfg
         k = stft_ops.make_kernels(
             cfg.stft.win_len, cfg.stft.hop, cfg.stft.fft_len, cfg.stft.window
@@ -96,7 +103,7 @@ class DCCRN(nn.Module):
             if cfg.use_cbn:
                 x = ComplexBatchNorm(name=f"enc{i}_bn")(x, training=training)
             else:
-                x = BatchNorm(name=f"enc{i}_bn")(x, training=training)
+                x = BatchNorm(name=f"enc{i}_bn")(x, training=training, use_batch_stats=bn_batch_stats)
             x = PReLU(name=f"enc{i}_prelu")(x)
             enc_taps.append(x)
 
@@ -149,7 +156,7 @@ class DCCRN(nn.Module):
                 if cfg.use_cbn:
                     x = ComplexBatchNorm(name=f"dec{i}_bn")(x, training=training)
                 else:
-                    x = BatchNorm(name=f"dec{i}_bn")(x, training=training)
+                    x = BatchNorm(name=f"dec{i}_bn")(x, training=training, use_batch_stats=bn_batch_stats)
                 x = PReLU(name=f"dec{i}_prelu")(x)
             dec_taps.append(x)
 

@@ -75,7 +75,8 @@ def save_bundle(
     import jax as _jax
 
     meta = {
-        "model_name": "DCCRNet",
+        "model_name": "DCCRNet" if getattr(cfg, "family", "dccrn") == "dccrnet"
+        else "DCCRN",
         "model_args": {
             "architecture": cfg.name,
             "stft_n_filters": cfg.stft.fft_len,
@@ -119,6 +120,7 @@ def load_bundle(path: str) -> Tuple[DCCRNConfig, Dict[str, Any], Dict[str, Any]]
     c = meta["config"]
     cfg = DCCRNConfig(
         name=c["name"],
+        family=c.get("family", "dccrn"),
         stft=STFTConfig(**c["stft"]),
         kernel_num=tuple(c["kernel_num"]),
         kernel_size=c["kernel_size"],

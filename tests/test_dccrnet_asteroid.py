@@ -184,3 +184,78 @@ def test_architecture_registry():
     # torchinfo counts conv/BN/PReLU/LSTM/linear params (running stats are
     # buffers); our bias-free convs and packed BN match 1:1
     assert n == 3_669_336
+
+
+def test_clskd_distillation_with_dccrnet_family():
+    """The full CLSKD strategy (ABF fusion + SPKD + MRSTFT) runs on the
+    asteroid-geometry family, whose taps shrink the time axis per layer
+    (reference ABF resizes the residual to each map's (freq, time) plan,
+    framework.py:212-215)."""
+    import numpy as np
+
+    from speech_enhancement_clskd_tpu.config import (
+        DataConfig,
+        DCCRNConfig,
+        DistillConfig,
+        MeshConfig,
+        STFTConfig,
+        TrainConfig,
+    )
+    from speech_enhancement_clskd_tpu.train import Trainer
+
+    stft = STFTConfig(window="sqrthann")
+    cfg = TrainConfig(
+        teacher=DCCRNConfig(name="t", family="dccrnet", stft=stft,
+                            kernel_num=(8, 16, 16), rnn_units=32),
+        student=DCCRNConfig(name="s", family="dccrnet", stft=stft,
+                            kernel_num=(4, 8, 8), rnn_units=16),
+        data=DataConfig(synthetic=True, synthetic_size=4, segment=0.5,
+                        batch_size=4),
+        distill=DistillConfig(strategy="clskd"),
+        mesh=MeshConfig(data=-1, model=1),
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray((rng.standard_normal((4, 8000)) * 0.1).astype(np.float32))
+    clean = mix * 0.9
+    losses = []
+    for _ in range(3):
+        state, logs = trainer.train_step(state, mix, clean)
+        losses.append(float(logs["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    for key in ("enc_loss", "dec_loss", "clstm_real_loss", "base_loss"):
+        assert key in logs
+
+
+def test_evaluate_pth_bundle_dispatch(tmp_path):
+    """evaluate_bundle accepts the asteroid .pth directly (torch-free)."""
+    from speech_enhancement_clskd_tpu.data import SyntheticEnhancementDataset
+    from speech_enhancement_clskd_tpu.eval import evaluate_bundle
+
+    ds = SyntheticEnhancementDataset(size=2, segment=1.0, sample_rate=16000,
+                                     seed=7)
+    res = evaluate_bundle(
+        REF_CKPT, ds, sample_rate=16000, compute_pesq=False,
+        results_path=str(tmp_path / "m.json"), bn_batch_stats=True,
+    )
+    assert "stoi" in res and np.isfinite(res["stoi"])
+
+
+def test_import_torch_cli_roundtrip(tmp_path):
+    import jax
+
+    from speech_enhancement_clskd_tpu.cli import main
+    from speech_enhancement_clskd_tpu.models import make_model
+    from speech_enhancement_clskd_tpu.utils.serialization import load_bundle
+
+    out = str(tmp_path / "student.npz")
+    assert main(["import-torch", "--pth", REF_CKPT, "--out", out]) == 0
+    cfg, variables, meta = load_bundle(out)
+    assert cfg.family == "dccrnet"
+    assert meta["model_args"]["stft_n_filters"] == 512
+    model = make_model(cfg)
+    wav = jnp.zeros((1, 4000), jnp.float32)
+    o = model.apply(variables, wav, training=False)
+    assert o.wav.shape == (1, 4000)
