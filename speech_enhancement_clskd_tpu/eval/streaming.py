@@ -36,6 +36,7 @@ class StreamingEnhancer:
         variables: dict,
         chunk_frames: int = 48,
         context_frames: int = 64,
+        lookahead_frames: int = None,
     ):
         self.cfg = cfg
         self.model = make_model(cfg)
@@ -45,12 +46,17 @@ class StreamingEnhancer:
         self.chunk = chunk_frames
         self.context = context_frames
         self.chunk_samples = chunk_frames * self.hop
-        # right guard: the final (win - hop) samples of a window depend on
-        # future frames (the STFT pads win-hop on both sides and the iSTFT
-        # overlap-adds up to win/hop - 1 future frames), so emit samples that
-        # sit `guard` before the window's right edge.  Costs `guard` samples
-        # of algorithmic lookahead.
-        self.guard = self.win - self.hop
+        # right guard: the final samples of a window depend on future frames
+        # (iSTFT overlap-adds up to win/hop - 1 future frames; the dccrnet
+        # family's convs additionally look 1 frame ahead per encoder layer
+        # and mirror that in the decoder), so emit samples that sit `guard`
+        # before the window's right edge.  Costs `guard` samples of
+        # algorithmic lookahead.
+        if lookahead_frames is None:
+            lookahead_frames = self.win // self.hop - 1
+            if getattr(cfg, "family", "dccrn") == "dccrnet":
+                lookahead_frames += 2 * len(cfg.kernel_num) + 1
+        self.guard = lookahead_frames * self.hop
         self.window_samples = (
             (context_frames + chunk_frames) * self.hop + self.guard
         )

@@ -97,3 +97,29 @@ def test_dp_matches_single_device():
     l1 = run(MeshConfig(data=1, model=1))
     l8 = run(MeshConfig(data=8, model=1))
     np.testing.assert_allclose(l1, l8, rtol=1e-4)
+
+
+def test_sharded_train_step_dccrnet_family():
+    """DP x TP sharded CLSKD step on the asteroid-geometry family."""
+    from speech_enhancement_clskd_tpu.config import STFTConfig
+
+    stft = STFTConfig(window="sqrthann")
+    cfg = TrainConfig(
+        teacher=DCCRNConfig(name="t", family="dccrnet", stft=stft,
+                            kernel_num=(8, 16, 16), rnn_units=32),
+        student=DCCRNConfig(name="s", family="dccrnet", stft=stft,
+                            kernel_num=(4, 8, 8), rnn_units=16),
+        data=DataConfig(synthetic=True, synthetic_size=16, segment=0.5,
+                        batch_size=8),
+        distill=DistillConfig(strategy="clskd"),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    rng = np.random.default_rng(0)
+    bs = batch_sharding(tr.mesh)
+    mix = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32) * 0.1), bs
+    )
+    st, logs = tr.train_step(st, mix, mix * 0.9)
+    assert np.isfinite(float(logs["train_loss"]))

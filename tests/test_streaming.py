@@ -60,3 +60,35 @@ def test_latency_accounting():
     # chunk (48 * 100) + lookahead guard (win - hop = 300)
     assert eng.latency_samples == 5100
     assert abs(eng.latency_ms - 318.75) < 1e-6
+
+
+def test_streaming_dccrnet_family_matches_offline():
+    """Chunked inference on the asteroid family tracks the offline output
+    (needs right lookahead: its convs consume one future frame per layer)."""
+    import jax
+
+    from speech_enhancement_clskd_tpu.config import DCCRNConfig, STFTConfig
+    from speech_enhancement_clskd_tpu.eval.streaming import StreamingEnhancer
+    from speech_enhancement_clskd_tpu.models import make_model
+
+    cfg = DCCRNConfig(name="s", family="dccrnet",
+                      stft=STFTConfig(window="sqrthann"),
+                      kernel_num=(4, 8, 8), rnn_units=16)
+    model = make_model(cfg)
+    rng = np.random.default_rng(5)
+    wav = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)),
+                           training=False)
+    offline = np.asarray(
+        model.apply(variables, jnp.asarray(wav[None]), training=False).wav
+    )[0]
+    eng = StreamingEnhancer(cfg, variables, chunk_frames=32, context_frames=96)
+    streamed = eng.stream(wav)
+    assert streamed.shape == wav.shape
+    # interior agreement (skip LSTM warm-up at the start; the last chunk's
+    # flush region differs inherently: the offline iSTFT tapers at the signal
+    # edge while the streamed window sees zero-padded future)
+    s0, s1 = 8000, len(wav) - eng.chunk_samples
+    err = np.abs(streamed[s0:s1] - offline[s0:s1])
+    denom = np.abs(offline[s0:s1]).max() + 1e-9
+    assert err.max() / denom < 1e-3
