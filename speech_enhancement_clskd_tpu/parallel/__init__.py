@@ -1,1 +1,7 @@
-from .mesh import make_mesh, batch_sharding, replicated, param_shardings
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    stacked_batch_sharding,
+    replicated,
+    param_shardings,
+)

@@ -85,6 +85,8 @@ class Trainer:
             self.abf_enc = self.abf_dec = None
         self.tx = self._make_optimizer()
         self._train_step = None
+        self._train_scan = None
+        self._raw_train_step = None
         self._eval_step = None
 
     # ------------------------------------------------------------------ setup
@@ -267,6 +269,7 @@ class Trainer:
             logs["grad_norm"] = optax.global_norm(grads)
             return state.replace(**upd), logs
 
+        self._raw_train_step = train_step
         return jax.jit(train_step, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, mix, clean):
@@ -274,6 +277,37 @@ class Trainer:
             self._train_step = self._build_train_step()
         with self.mesh:
             return self._train_step(state, mix, clean)
+
+    def _build_train_scan(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        raw = self._raw_train_step
+
+        def train_scan(state: TrainState, mix_stack, clean_stack):
+            # One device dispatch for K optimizer steps: lax.scan over a
+            # [K, B, T] stack of prefetched batches.  Removes the per-step
+            # host->device dispatch latency that dominates single-step time
+            # on tunneled/remote TPUs; on a pod it also lets XLA overlap the
+            # tail of step k with the head of step k+1.
+            def body(st, batch):
+                st, logs = raw(st, batch[0], batch[1])
+                return st, logs
+
+            state, logs = jax.lax.scan(body, state, (mix_stack, clean_stack))
+            return state, logs  # logs: each leaf stacked [K]
+
+        return jax.jit(train_scan, donate_argnums=(0,))
+
+    def train_steps(self, state: TrainState, mix_stack, clean_stack):
+        """Run K optimizer steps in ONE dispatch.
+
+        ``mix_stack``/``clean_stack``: [K, B, T] stacks of K prefetched
+        batches.  Returns (state, logs) with every log leaf stacked [K].
+        """
+        if self._train_scan is None:
+            self._train_scan = self._build_train_scan()
+        with self.mesh:
+            return self._train_scan(state, mix_stack, clean_stack)
 
     # ------------------------------------------------------------- evaluation
 

@@ -104,3 +104,37 @@ def test_validate_and_fit_epoch():
     m = tr.validate(st, val_ds)
     assert "si_sdr" in m and "si_sdr_imp" in m
     assert np.isfinite(m["si_sdr"])
+
+
+def test_train_steps_scan_matches_sequential(batch):
+    """K steps via one lax.scan dispatch == K sequential train_step calls."""
+    mix, clean = batch
+    K = 3
+    mix_stack = jnp.broadcast_to(mix, (K,) + mix.shape)
+    clean_stack = jnp.broadcast_to(clean, (K,) + clean.shape)
+
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"))
+    tr_a = Trainer(cfg)
+    st_a = tr_a.init_state()
+    losses_seq = []
+    for _ in range(K):
+        st_a, logs = tr_a.train_step(st_a, mix, clean)
+        losses_seq.append(float(logs["train_loss"]))
+
+    tr_b = Trainer(cfg)
+    st_b = tr_b.init_state()
+    st_b, logs_b = tr_b.train_steps(st_b, mix_stack, clean_stack)
+
+    assert int(st_b.step) == K
+    assert logs_b["train_loss"].shape == (K,)
+    np.testing.assert_allclose(
+        np.asarray(logs_b["train_loss"]), np.asarray(losses_seq),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Params agree up to float reassociation across the scan/jit boundary
+    # (the per-step losses above already pin the sequential semantics).
+    pa = jax.tree.leaves(st_a.student_params)
+    pb = jax.tree.leaves(st_b.student_params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
