@@ -168,6 +168,10 @@ class TrainConfig:
     max_epochs: int = 20  # reference config.py:40
     seed: int = 0
     log_every: int = 50
+    # >1: fit() prefetches this many batches and runs them as ONE device
+    # dispatch (lax.scan over the optimizer step) — hides host dispatch
+    # latency; set 8-32 on real TPU, 1 reproduces step-at-a-time behavior.
+    scan_steps: int = 1
     eval_every_epochs: int = 1
     ckpt_dir: str = "checkpoints"
     keep_top_k: int = 3  # checkpoint on max STOI, reference distill.py:252-258

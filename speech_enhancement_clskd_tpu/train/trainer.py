@@ -40,6 +40,7 @@ from ..parallel.mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    stacked_batch_sharding,
 )
 
 
@@ -378,23 +379,58 @@ class Trainer:
         loader = make_loader(train_ds, cfg.data.batch_size, shuffle=True,
                              seed=cfg.seed)
         bs = batch_sharding(self.mesh)
+        sbs = stacked_batch_sharding(self.mesh)
+        K = max(1, cfg.scan_steps)
         history: Dict[str, float] = {}
         for epoch in range(epochs or cfg.max_epochs):
             t0 = time.time()
             n = 0
+            pending: list = []
+
+            def flush(state, pending, n):
+                if not pending:
+                    return state, None, n
+                if len(pending) == 1 or K == 1:
+                    for mix_b, clean_b in pending:
+                        state, logs = self.train_step(
+                            state,
+                            jax.device_put(jnp.asarray(mix_b), bs),
+                            jax.device_put(jnp.asarray(clean_b), bs),
+                        )
+                        n += 1
+                    return state, logs, n
+                mix_stack = jax.device_put(
+                    jnp.asarray(np.stack([m for m, _ in pending])), sbs)
+                clean_stack = jax.device_put(
+                    jnp.asarray(np.stack([c for _, c in pending])), sbs)
+                state, logs = self.train_steps(state, mix_stack, clean_stack)
+                n += len(pending)
+                logs = {k: v[-1] for k, v in logs.items()}
+                return state, logs, n
+
             for mix, src in loader:
-                clean = src[:, 0]
-                mix_d = jax.device_put(jnp.asarray(mix), bs)
-                clean_d = jax.device_put(jnp.asarray(clean), bs)
-                state, logs = self.train_step(state, mix_d, clean_d)
-                n += 1
-                if n % cfg.log_every == 0:
+                pending.append((mix, src[:, 0]))
+                if len(pending) < K:
+                    continue
+                n_before = n
+                state, logs, n = flush(state, pending, n)
+                pending = []
+                if n_before // cfg.log_every != n // cfg.log_every:
                     vals = {k: float(v) for k, v in logs.items()}
                     log_fn(f"epoch {epoch} step {n}: "
                            + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
                     if metric_writer is not None:
                         metric_writer.write(int(state.step), vals,
                                             scope="train")
+            # leftover batches smaller than a full scan window run one-by-one
+            # (avoids compiling a second scan shape)
+            for mix_b, clean_b in pending:
+                state, _ = self.train_step(
+                    state,
+                    jax.device_put(jnp.asarray(mix_b), bs),
+                    jax.device_put(jnp.asarray(clean_b), bs),
+                )
+                n += 1
             dt = time.time() - t0
             metrics = self.validate(state, val_ds)
             metrics["epoch_time_s"] = dt

@@ -138,3 +138,14 @@ def test_train_steps_scan_matches_sequential(batch):
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_fit_with_scan_steps():
+    """fit() with scan_steps>1 runs every batch (incl. the non-full tail)."""
+    # synthetic_size=16, batch=4 -> 4 batches/epoch; K=3 -> one scan of 3
+    # plus 1 leftover single step.
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"), scan_steps=3)
+    tr = Trainer(cfg)
+    st, hist = tr.fit(epochs=1, log_fn=lambda *_: None)
+    assert int(st.step) == 4
+    assert np.isfinite(hist["si_sdr"])
