@@ -13,6 +13,8 @@ the baseline denominator is the reference's throughput PROXY of 96 audio-s/s
 (batch 32 x 3 s at an assumed 1.0 s/optimizer-step on its single GPU).
 """
 
+import argparse
+import dataclasses
 import json
 import time
 
@@ -20,6 +22,12 @@ BASELINE_AUDIO_S_PER_S = 96.0  # 32 utt * 3 s / 1.0 s-per-step proxy
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (params stay float32)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,8 +46,8 @@ def main():
     n_chips = len(jax.devices())
     batch, seg_s, sr = 32, 3.0, 16000
     cfg = TrainConfig(
-        teacher=TEACHER,
-        student=STUDENT,
+        teacher=dataclasses.replace(TEACHER, compute_dtype=args.dtype),
+        student=dataclasses.replace(STUDENT, compute_dtype=args.dtype),
         data=DataConfig(synthetic=True, batch_size=batch, segment=seg_s),
         distill=DistillConfig(strategy="clskd"),
         mesh=MeshConfig(data=-1, model=1),

@@ -95,6 +95,8 @@ DCCRNET_STUDENT = DCCRNConfig(
 class DataConfig:
     """Reference ``conf.yml:7-14`` + ``distill.py:206-229``."""
 
+    dataset: str = "librimix"  # 'librimix' | 'dns' (asteroid DNSDataset
+    # equivalent, reference distill.py imports both)
     task: str = "enh_single"
     sample_rate: int = 16000
     n_src: int = 1

@@ -29,7 +29,12 @@ from flax import struct
 from jax.sharding import Mesh
 
 from ..config import TrainConfig
-from ..data import SyntheticEnhancementDataset, LibriMixDataset, make_loader
+from ..data import (
+    DNSDataset,
+    LibriMixDataset,
+    SyntheticEnhancementDataset,
+    make_loader,
+)
 from ..distill.abf import ReviewKD
 from ..distill.strategies import distill_loss, needs_fusion
 from ..losses.signal import si_sdr
@@ -356,6 +361,11 @@ class Trainer:
                 size=max(8, d.synthetic_size // 16), segment=d.segment or 3.0,
                 sample_rate=d.sample_rate, seed=self.cfg.seed + 10_000,
             )
+        elif d.dataset == "dns":
+            train = DNSDataset(d.train_dir, d.sample_rate, d.segment,
+                               seed=self.cfg.seed)
+            val = DNSDataset(d.valid_dir, d.sample_rate, d.segment,
+                             seed=self.cfg.seed)
         else:
             train = LibriMixDataset(d.train_dir, d.task, d.sample_rate,
                                     d.n_src, d.segment)

@@ -102,3 +102,27 @@ def test_grads_flow(student_setup):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     nonzero = sum(int(np.any(np.asarray(l) != 0)) for l in leaves)
     assert nonzero > len(leaves) * 0.9  # every layer gets gradient
+
+
+def test_bfloat16_compute_path():
+    """compute_dtype='bfloat16': MXU-friendly forward stays close to f32 and
+    internal activations actually run in bf16 (params stay f32)."""
+    import dataclasses
+
+    cfg32 = DCCRNConfig(name="bf16-test", kernel_num=(4, 8, 8), rnn_units=16)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    m32, m16 = make_model(cfg32), make_model(cfg16)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    v = m32.init(jax.random.PRNGKey(0), wav, training=False)
+    out32 = m32.apply(v, wav, training=False)
+    out16 = m16.apply(v, wav, training=False)  # same f32 params
+    # encoder taps really are bf16
+    assert out16.taps.encoder[0].dtype == jnp.bfloat16
+    assert out32.taps.encoder[0].dtype == jnp.float32
+    # output wav back in f32 and close to the f32 path
+    assert out16.wav.dtype == jnp.float32
+    err = float(jnp.sqrt(jnp.mean((out16.wav - out32.wav) ** 2)))
+    ref = float(jnp.sqrt(jnp.mean(out32.wav**2))) + 1e-12
+    assert err / ref < 0.15, (err, ref)
+    assert np.isfinite(np.asarray(out16.wav)).all()
