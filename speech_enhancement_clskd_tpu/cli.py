@@ -50,6 +50,9 @@ def _parse(argv: Optional[List[str]] = None):
     e.add_argument("--results", default="results/All_metric.json")
     e.add_argument("--examples", default=None, help="example wav dir")
     e.add_argument("--no-pesq", action="store_true")
+    e.add_argument("--per-utt", default=None, dest="per_utt",
+                   help="per-utterance metric rows JSONL (default: derived "
+                        "from --results)")
     e.add_argument("--reference-bn", action="store_true",
                    help="BatchNorm with per-utterance batch statistics, "
                         "matching the reference eval.py (no model.eval())")
@@ -179,6 +182,9 @@ def _evaluate(cfg, args) -> int:
     else:
         ds = LibriMixDataset(d.test_dir, d.task, d.sample_rate, d.n_src,
                              segment=None)
+    per_utt = getattr(args, "per_utt", None)
+    if per_utt is None and args.results:
+        per_utt = os.path.splitext(args.results)[0] + "_per_utt.jsonl"
     res = evaluate_bundle(
         args.bundle, ds,
         sample_rate=d.sample_rate,
@@ -186,6 +192,7 @@ def _evaluate(cfg, args) -> int:
         results_path=args.results,
         compute_pesq=not args.no_pesq,
         bn_batch_stats=True if args.reference_bn else None,
+        per_utt_path=per_utt,
     )
     print(json.dumps(res, indent=2))
     return 0

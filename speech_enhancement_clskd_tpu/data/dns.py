@@ -93,7 +93,11 @@ class DNSDataset:
         mix, sr = read_wav(mix_path)
         if sr != self.sample_rate:
             raise ValueError(f"sample-rate mismatch {sr} != {self.sample_rate}")
-        clean, _ = read_wav(clean_path)
+        clean, sr_c = read_wav(clean_path)
+        if sr_c != self.sample_rate:
+            raise ValueError(
+                f"clean sample-rate mismatch {sr_c} != {self.sample_rate}"
+            )
         n = min(len(mix), len(clean))
         mix, clean = mix[:n], clean[:n]
         if self.segment is not None:

@@ -56,19 +56,25 @@ class ABF(nn.Module):
         residual: Optional[jnp.ndarray] = None,  # [B, D_prev, T, mid]
         training: bool = True,
     ):
+        # Compute in the tap dtype: the fused maps are teacher-sized (~1 GB
+        # each at reference geometry) and this chain is the HBM-bandwidth
+        # hot spot of the CLSKD step — flax's default dtype=None would
+        # silently promote bf16 taps back to f32 against the f32 params.
+        # Params stay f32; BatchNorm accumulates its statistics in f32.
+        dt = x.dtype
         kaiming = nn.initializers.kaiming_uniform()
         x = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
-                    kernel_init=kaiming, name="conv1")(x)
+                    kernel_init=kaiming, dtype=dt, name="conv1")(x)
         x = BatchNorm(name="bn1")(x, training=training)
         if self.fuse and residual is not None:
-            y = _resize_freq(residual, x.shape[1], x.shape[2])
-            z = nn.Conv(2, (1, 1), name="att_conv")(
+            y = _resize_freq(residual, x.shape[1], x.shape[2]).astype(dt)
+            z = nn.Conv(2, (1, 1), dtype=dt, name="att_conv")(
                 jnp.concatenate([x, y], axis=-1)
             )
             z = jax.nn.sigmoid(z)
             x = x * z[..., 0:1] + y * z[..., 1:2]
         out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                      kernel_init=kaiming, name="conv2")(x)
+                      kernel_init=kaiming, dtype=dt, name="conv2")(x)
         out = BatchNorm(name="bn2")(out, training=training)
         return out, x
 

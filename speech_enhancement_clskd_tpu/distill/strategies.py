@@ -72,16 +72,15 @@ def distill_loss(
             spkd_loss(sf, tf, "batchmean")
             for sf, tf in zip(fused_decoder, t_out.taps.decoder)
         )
-        # LSTM taps are [T, B, F]; SPKD grams are per-batch -> move B first
+        # LSTM taps are [T, B, F]; gram over batch axis 1 directly (no
+        # materialized swapaxes — the contraction runs in native layout)
         lr = spkd_loss(
-            jnp.swapaxes(s_out.taps.lstm_real, 0, 1),
-            jnp.swapaxes(t_out.taps.lstm_real, 0, 1),
-            "batchmean",
+            s_out.taps.lstm_real, t_out.taps.lstm_real, "batchmean",
+            batch_axis=1,
         )
         li = spkd_loss(
-            jnp.swapaxes(s_out.taps.lstm_imag, 0, 1),
-            jnp.swapaxes(t_out.taps.lstm_imag, 0, 1),
-            "batchmean",
+            s_out.taps.lstm_imag, t_out.taps.lstm_imag, "batchmean",
+            batch_axis=1,
         )
         logs.update(enc_loss=enc, dec_loss=dec, clstm_real_loss=lr,
                     clstm_imag_loss=li)

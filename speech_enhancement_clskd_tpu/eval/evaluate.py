@@ -1,9 +1,13 @@
 """Offline evaluation harness (behavioural equivalent of reference eval.py).
 
-Loads a serialized student, runs full-length utterances, computes per-utterance
-metrics (si_sdr/sdr/sir/sar/stoi[/pesq]) plus their input_* baselines, writes
-the summary JSON (means + *_imp improvement deltas — eval.py:108-119) and
-saves n random example wav triptychs mixture/s0/s0_estimate (eval.py:89-101).
+Loads a serialized student, runs full-length utterances, PIT-reorders the
+estimates against the reference sources (eval.py:25-27,67 —
+``PITLossWrapper(pairwise_neg_sisdr)``; identity for n_src=1), computes
+per-utterance metrics (si_sdr/sdr/sir/sar/stoi[/pesq]) plus their input_*
+baselines, persists one metric row per utterance (eval.py:85-88 pandas rows;
+here a JSONL file), writes the summary JSON (means + *_imp improvement
+deltas — eval.py:108-119) and saves n random example wav triptychs
+mixture/s{i}/s{i}_estimate (eval.py:89-101).
 
 TPU design notes:
 - variable-length utterances are bucketed to the next multiple of
@@ -26,7 +30,8 @@ import numpy as np
 
 from ..config import DCCRNConfig
 from ..data.wav import write_wav
-from ..metrics.bss import eval_metrics
+from ..losses.pit import pit_reorder
+from ..metrics.bss import eval_metrics_sources
 from ..models.dccrn import make_model
 from ..utils.serialization import load_bundle
 
@@ -51,15 +56,20 @@ def evaluate_model(
     seed: int = 0,
     log_fn=print,
     bn_batch_stats: Optional[bool] = None,
+    per_utt_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """``bn_batch_stats=True`` reproduces the reference eval quirk (its
     eval.py never calls model.eval(), so BN normalizes with per-utterance
-    batch statistics — see ops.complex_layers.BatchNorm)."""
+    batch statistics — see ops.complex_layers.BatchNorm).
+
+    ``per_utt_path``: write one JSON metric row per utterance (the
+    reference's pandas per-utterance frame, eval.py:85-88)."""
     model = make_model(cfg)
 
     fwd_cache: Dict[int, any] = {}
 
     def forward(mix_np: np.ndarray) -> np.ndarray:
+        """Model estimates as [n_est, T] (single-output models give n_est=1)."""
         T = len(mix_np)
         L = _bucket_len(T, sample_rate, bucket_s)
         if L not in fwd_cache:
@@ -70,8 +80,9 @@ def evaluate_model(
             )
         pad = np.zeros(L, np.float32)
         pad[:T] = mix_np
-        out = fwd_cache[L](variables, jnp.asarray(pad[None]))
-        return np.asarray(out)[0, :T]
+        out = np.asarray(fwd_cache[L](variables, jnp.asarray(pad[None])))[0]
+        out = out[..., :T]
+        return out if out.ndim == 2 else out[None]
 
     save_idx = (
         set(random.Random(seed).sample(range(len(dataset)), min(n_save_ex, len(dataset))))
@@ -79,26 +90,45 @@ def evaluate_model(
         else set()
     )
 
+    per_utt_f = None
+    if per_utt_path:
+        os.makedirs(os.path.dirname(os.path.abspath(per_utt_path)), exist_ok=True)
+        per_utt_f = open(per_utt_path, "w")
+
     rows: List[Dict[str, float]] = []
     for idx in range(len(dataset)):
         item = dataset[idx]
-        mix, sources = item[0], item[1]
-        clean = sources[0]
-        est = forward(mix)
-        m = eval_metrics(mix, clean, est, sample_rate, compute_pesq=compute_pesq)
+        mix, sources = np.asarray(item[0]), np.asarray(item[1])
+        utt_id = item[2] if len(item) > 2 else str(idx)
+        ests = forward(mix)
+        if ests.shape[0] == sources.shape[0] and sources.shape[0] > 1:
+            # PIT reorder before metrics (reference eval.py:67)
+            reordered, _ = pit_reorder(jnp.asarray(ests), jnp.asarray(sources))
+            ests = np.asarray(reordered)
+        elif sources.shape[0] > 1:
+            # single-output model on a multi-source task: score vs source 0
+            sources = sources[:1]
+        m = eval_metrics_sources(mix, sources, ests, sample_rate,
+                                 compute_pesq=compute_pesq)
         rows.append(m)
+        if per_utt_f is not None:
+            per_utt_f.write(json.dumps({"utt_id": str(utt_id), **m}) + "\n")
         if idx in save_idx:
             d = os.path.join(ex_save_dir, f"ex_{idx}")
             os.makedirs(d, exist_ok=True)
             write_wav(os.path.join(d, "mixture.wav"), mix, sample_rate)
-            write_wav(os.path.join(d, "s0.wav"), clean, sample_rate)
-            # normalize estimate to the mixture's scale (asteroid
-            # normalize_estimates behaviour, eval.py:75)
-            scale = np.max(np.abs(mix)) / (np.max(np.abs(est)) + 1e-8)
-            write_wav(os.path.join(d, "s0_estimate.wav"), est * scale,
-                      sample_rate)
+            for j in range(sources.shape[0]):
+                write_wav(os.path.join(d, f"s{j}.wav"), sources[j], sample_rate)
+                # normalize estimate to the mixture's scale (asteroid
+                # normalize_estimates behaviour, eval.py:75)
+                est_j = ests[min(j, ests.shape[0] - 1)]
+                scale = np.max(np.abs(mix)) / (np.max(np.abs(est_j)) + 1e-8)
+                write_wav(os.path.join(d, f"s{j}_estimate.wav"),
+                          est_j * scale, sample_rate)
         if (idx + 1) % 50 == 0:
             log_fn(f"eval {idx + 1}/{len(dataset)}")
+    if per_utt_f is not None:
+        per_utt_f.close()
 
     final: Dict[str, float] = {}
     for name in COMPUTE_METRICS:

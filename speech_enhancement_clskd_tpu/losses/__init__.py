@@ -8,3 +8,9 @@ from .spectral import (
 from .mel import mel_filterbank, perceptual_distance, array_mel_loss
 from .kd import spkd_loss, hcl
 from .modes import dccrn_loss
+from .pit import (
+    pairwise_neg_si_sdr,
+    pit_from_pw_mtx,
+    pit_reorder,
+    pit_si_sdr_loss,
+)

@@ -51,6 +51,73 @@ def bss_eval_single(ref: np.ndarray, est: np.ndarray) -> Dict[str, float]:
     return {"sdr": float(sdr), "sir": float("inf"), "sar": float(sdr)}
 
 
+def bss_eval_sources(refs: np.ndarray, ests: np.ndarray) -> Dict[str, np.ndarray]:
+    """Full multi-source bss_eval_sources (mir_eval semantics) for matched
+    (ref_j, est_j) pairs — inputs [n_src, T], already PIT-reordered.
+
+    Decomposition per estimate j (512-tap allowed distortions):
+      s_target = P_{ref_j}(est_j)
+      e_interf = P_{all refs}(est_j) - s_target
+      e_artif  = est_j - P_{all refs}(est_j)
+      SDR = 10log10 |s_target|^2 / |e_interf + e_artif|^2
+      SIR = 10log10 |s_target|^2 / |e_interf|^2
+      SAR = 10log10 |s_target + e_interf|^2 / |e_artif|^2
+    """
+    refs = np.asarray(refs, np.float64)
+    ests = np.asarray(ests, np.float64)
+    n_src, T = refs.shape
+    if n_src == 1:
+        b = bss_eval_single(refs[0], ests[0])
+        return {k: np.asarray([v]) for k, v in b.items()}
+
+    flen = FILT_LEN
+    # Gram matrix of all lagged refs: G[(i,tau),(j,tau')] = <ref_i(.-tau), ref_j(.-tau')>
+    G = np.zeros((n_src * flen, n_src * flen))
+    for i in range(n_src):
+        for j in range(n_src):
+            cc = fftconvolve(refs[i], refs[j][::-1], mode="full")
+            mid = T - 1
+            # G[(i,tau),(j,tau')] = sum_v ref_i(v) ref_j(v + tau - tau')
+            #                     = cc_ij[mid + tau' - tau]
+            blk = np.empty((flen, flen))
+            for tau in range(flen):
+                blk[tau] = cc[mid - tau + np.arange(flen)]
+            G[i * flen : (i + 1) * flen, j * flen : (j + 1) * flen] = blk
+    G += 1e-10 * np.eye(n_src * flen)
+
+    sdr = np.empty(n_src)
+    sir = np.empty(n_src)
+    sar = np.empty(n_src)
+    for j in range(n_src):
+        est = ests[j]
+        s_target = _project(refs[j], est)
+        # projection onto span of ALL refs' lag spaces
+        d = np.concatenate(
+            [
+                fftconvolve(est, refs[i][::-1], mode="full")[T - 1 : T - 1 + flen]
+                for i in range(n_src)
+            ]
+        )
+        h = np.linalg.solve(G, d)
+        p_all = np.zeros(T)
+        for i in range(n_src):
+            p_all += fftconvolve(refs[i], h[i * flen : (i + 1) * flen],
+                                 mode="full")[:T]
+        e_interf = p_all - s_target
+        e_artif = est - p_all
+        eps = 1e-12
+        sdr[j] = 10 * np.log10(
+            np.sum(s_target**2) / (np.sum((e_interf + e_artif) ** 2) + eps) + eps
+        )
+        sir[j] = 10 * np.log10(
+            np.sum(s_target**2) / (np.sum(e_interf**2) + eps) + eps
+        )
+        sar[j] = 10 * np.log10(
+            np.sum((s_target + e_interf) ** 2) / (np.sum(e_artif**2) + eps) + eps
+        )
+    return {"sdr": sdr, "sir": sir, "sar": sar}
+
+
 def si_sdr_np(ref: np.ndarray, est: np.ndarray, eps: float = 1e-12) -> float:
     ref = np.asarray(ref, np.float64)
     est = np.asarray(est, np.float64)
@@ -58,6 +125,53 @@ def si_sdr_np(ref: np.ndarray, est: np.ndarray, eps: float = 1e-12) -> float:
     proj = alpha * ref
     noise = est - proj
     return float(10 * np.log10(np.sum(proj**2) / (np.sum(noise**2) + eps) + eps))
+
+
+def eval_metrics_sources(
+    mix: np.ndarray,
+    sources: np.ndarray,
+    ests: np.ndarray,
+    sample_rate: int = 16000,
+    compute_pesq: bool = True,
+) -> Dict[str, float]:
+    """Multi-source per-utterance metrics, averaged over sources (asteroid
+    ``get_metrics(average=True)``).  ``sources``/``ests``: [n_src, T], ests
+    already PIT-reordered (losses.pit.pit_reorder).  input_* metrics use the
+    mixture as the estimate of every source."""
+    import jax.numpy as jnp
+
+    n_src = sources.shape[0]
+    if n_src == 1:
+        return eval_metrics(mix, sources[0], ests[0], sample_rate,
+                            compute_pesq=compute_pesq)
+    out: Dict[str, float] = {}
+    mix_stack = np.broadcast_to(mix, sources.shape)
+    for name, deg in (("input_", mix_stack), ("", ests)):
+        out[name + "si_sdr"] = float(
+            np.mean([si_sdr_np(sources[j], deg[j]) for j in range(n_src)])
+        )
+        b = bss_eval_sources(sources, deg)
+        out[name + "sdr"] = float(np.mean(b["sdr"]))
+        out[name + "sir"] = float(np.mean(b["sir"]))
+        out[name + "sar"] = float(np.mean(b["sar"]))
+        s = stoi_batch(jnp.asarray(sources), jnp.asarray(np.ascontiguousarray(deg)),
+                       fs=sample_rate)
+        out[name + "stoi"] = float(np.mean(np.asarray(s)))
+    if compute_pesq:
+        try:
+            from .pesq import pesq_wb
+
+            out["input_pesq"] = float(
+                np.mean([pesq_wb(sources[j], mix, sample_rate)
+                         for j in range(n_src)])
+            )
+            out["pesq"] = float(
+                np.mean([pesq_wb(sources[j], ests[j], sample_rate)
+                         for j in range(n_src)])
+            )
+        except (ImportError, NotImplementedError):
+            pass
+    return out
 
 
 def eval_metrics(

@@ -254,8 +254,12 @@ class BatchNorm(nn.Module):
             use_batch_stats = training
         if use_batch_stats:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+            # stats ALWAYS accumulate in f32 (the cast fuses into the reduce,
+            # so it costs no extra HBM traffic): E[x^2]-E[x]^2 over ~1e8
+            # elements is catastrophically imprecise in bf16
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             n = x.size // c
             unbiased = var * (n / max(n - 1, 1))
             if training and not self.is_initializing():

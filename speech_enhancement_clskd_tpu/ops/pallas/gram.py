@@ -1,12 +1,16 @@
-"""Pallas TPU kernel: fused SPKD Gram-matrix pair.
+"""Pallas TPU kernel: fused SPKD Gram-matrix pair, with custom VJP.
 
 SPKD needs G_s = S S^T and G_t = T T^T for activations flattened to [B, D]
 with D up to several million (the taps are ~[32, 128*483*C]); the matmuls are
 skinny (B ~ 32) so the op is HBM-bandwidth-bound.  This kernel streams both
 activation matrices tile-by-tile through VMEM in ONE pallas_call, accumulating
-both Grams in f32 VMEM scratch — one HBM pass per input, no intermediate
-HBM round trips, and the two streams share the grid (double-buffered by the
-pallas pipeline).
+both Grams in f32 — one HBM pass per input, no intermediate HBM round
+trips, and the two streams share the grid (double-buffered by the pallas
+pipeline).
+
+Differentiable: ``gram_pair`` carries a custom VJP.  The backward of
+G = Z Z^T is dZ = (dG + dG^T) Z — two skinny [B,B]x[B,D] matmuls, left to
+XLA (one streaming pass over each input, nothing to fuse beyond that).
 
 Falls back to plain XLA einsum off-TPU (and under ``interpret=True`` for CPU
 tests).
@@ -14,7 +18,7 @@ tests).
 
 from __future__ import annotations
 
-import functools
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -48,19 +52,10 @@ def _gram_pair_kernel(s_ref, t_ref, gs_ref, gt_ref):
     gt_ref[:] += jnp.dot(t, t.T, preferred_element_type=jnp.float32)
 
 
-def gram_pair(
-    s: jnp.ndarray, t: jnp.ndarray, interpret: bool = False
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(S S^T, T T^T) for [B, Ds], [B, Dt] inputs (flattened activations).
-
-    The two inputs may have different D; each is tiled independently over a
-    shared grid of max(cdiv(Ds), cdiv(Dt)) steps with zero-padding.
-    """
-    B = s.shape[0]
-    assert t.shape[0] == B
-    s2 = s.reshape(B, -1)
-    t2 = t.reshape(B, -1)
-    ds, dt = s2.shape[1], t2.shape[1]
+def _gram_pair_raw(s2: jnp.ndarray, t2: jnp.ndarray, interpret: bool):
+    """One pallas_call producing (S S^T, T T^T) for 2-D [B, D] inputs."""
+    B, ds = s2.shape
+    dt = t2.shape[1]
     n_tiles = max(pl.cdiv(ds, TILE_D), pl.cdiv(dt, TILE_D))
     pad_s = n_tiles * TILE_D - ds
     pad_t = n_tiles * TILE_D - dt
@@ -69,7 +64,7 @@ def gram_pair(
     if pad_t:
         t2 = jnp.pad(t2, ((0, 0), (0, pad_t)))
 
-    gs, gt = pl.pallas_call(
+    return pl.pallas_call(
         _gram_pair_kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -86,7 +81,47 @@ def gram_pair(
         ],
         interpret=interpret,
     )(s2, t2)
-    return gs, gt
+
+
+@lru_cache(maxsize=2)
+def _gram_pair_fn(interpret: bool):
+    @jax.custom_vjp
+    def f(s2, t2):
+        return _gram_pair_raw(s2, t2, interpret)
+
+    def fwd(s2, t2):
+        return _gram_pair_raw(s2, t2, interpret), (s2, t2)
+
+    def bwd(res, cot):
+        s2, t2 = res
+        dgs, dgt = cot
+        # d/dZ ||...||: G = Z Z^T  =>  dZ = (dG + dG^T) Z
+        ds = jnp.dot(
+            dgs + dgs.T, s2, preferred_element_type=jnp.float32
+        ).astype(s2.dtype)
+        dt = jnp.dot(
+            dgt + dgt.T, t2, preferred_element_type=jnp.float32
+        ).astype(t2.dtype)
+        return ds, dt
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gram_pair(
+    s: jnp.ndarray, t: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(S S^T, T T^T) in f32 for [B, *] inputs (flattened to [B, D]).
+
+    Differentiable (custom VJP).  The two inputs may have different D; each
+    is tiled independently over a shared grid of max(cdiv(Ds), cdiv(Dt))
+    steps with zero-padding.
+    """
+    B = s.shape[0]
+    assert t.shape[0] == B
+    s2 = s.reshape(B, -1)
+    t2 = t.reshape(B, -1)
+    return _gram_pair_fn(interpret)(s2, t2)
 
 
 def spkd_loss_pallas(
@@ -95,9 +130,8 @@ def spkd_loss_pallas(
     reduction: str = "batchmean",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """SPKD loss using the fused gram kernel (forward only — use under
-    stop-gradient-free paths or wrap with custom_vjp; the trainer uses the
-    XLA path for gradients)."""
+    """SPKD loss on the fused gram-pair kernel (forward AND backward work;
+    ``losses.kd.spkd_loss`` dispatches here on TPU for large D)."""
     gs, gt = gram_pair(student, teacher, interpret=interpret)
 
     def norm_l1(g):

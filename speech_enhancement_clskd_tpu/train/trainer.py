@@ -40,6 +40,7 @@ from ..distill.strategies import distill_loss, needs_fusion
 from ..losses.signal import si_sdr
 from ..metrics.stoi import stoi_batch
 from ..models.dccrn import DCCRN, make_model
+from ..parallel.distributed import put_global_batch
 from ..parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -73,6 +74,9 @@ def _teacher_tap_channels(cfg) -> Tuple[tuple, tuple]:
 
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh: Optional[Mesh] = None):
+        from ..utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.student: DCCRN = make_model(cfg.student)
@@ -114,9 +118,22 @@ class Trainer:
         return tx
 
     def total_steps(self) -> int:
+        """Optimizer steps over the whole run, from the ACTUAL dataset length
+        (drop-last semantics, matching the reference DataLoader
+        dataloader.py:19) — feeds the cosine schedule."""
+        if getattr(self, "_total_steps", None) is not None:
+            return self._total_steps
         d = self.cfg.data
-        n = d.synthetic_size if d.synthetic else 20000
-        return (n // d.batch_size) * self.cfg.max_epochs
+        if d.synthetic:
+            n = d.synthetic_size
+        else:
+            try:
+                train_ds, _ = self.make_datasets()
+                n = len(train_ds)
+            except Exception:
+                n = 20000  # manifest unavailable (e.g. schedule preview)
+        self._total_steps = max(1, n // d.batch_size) * self.cfg.max_epochs
+        return self._total_steps
 
     def init_state(self, rng: Optional[jax.Array] = None,
                    teacher_variables: Optional[dict] = None) -> TrainState:
@@ -392,34 +409,38 @@ class Trainer:
         sbs = stacked_batch_sharding(self.mesh)
         K = max(1, cfg.scan_steps)
         history: Dict[str, float] = {}
+        # scan-tail batches (< K at epoch end) carry into the next epoch's
+        # buffer instead of compiling a second (single-step) program; the
+        # final partial window at fit() end is dropped — the reference
+        # DataLoader uses drop_last=True (dataloader.py:19) so this matches
+        # its semantics while keeping exactly ONE compiled program in scan
+        # mode.
+        pending: list = []
         for epoch in range(epochs or cfg.max_epochs):
             t0 = time.time()
             n = 0
-            pending: list = []
 
             def flush(state, pending, n):
-                if not pending:
-                    return state, None, n
-                if len(pending) == 1 or K == 1:
+                if K == 1:
                     for mix_b, clean_b in pending:
                         state, logs = self.train_step(
                             state,
-                            jax.device_put(jnp.asarray(mix_b), bs),
-                            jax.device_put(jnp.asarray(clean_b), bs),
+                            put_global_batch(mix_b, bs),
+                            put_global_batch(clean_b, bs),
                         )
                         n += 1
                     return state, logs, n
-                mix_stack = jax.device_put(
-                    jnp.asarray(np.stack([m for m, _ in pending])), sbs)
-                clean_stack = jax.device_put(
-                    jnp.asarray(np.stack([c for _, c in pending])), sbs)
+                mix_stack = put_global_batch(
+                    np.stack([m for m, _ in pending]), sbs, batch_axis=1)
+                clean_stack = put_global_batch(
+                    np.stack([c for _, c in pending]), sbs, batch_axis=1)
                 state, logs = self.train_steps(state, mix_stack, clean_stack)
                 n += len(pending)
                 logs = {k: v[-1] for k, v in logs.items()}
                 return state, logs, n
 
             for mix, src in loader:
-                pending.append((mix, src[:, 0]))
+                pending.append((np.asarray(mix), np.asarray(src[:, 0])))
                 if len(pending) < K:
                     continue
                 n_before = n
@@ -432,15 +453,6 @@ class Trainer:
                     if metric_writer is not None:
                         metric_writer.write(int(state.step), vals,
                                             scope="train")
-            # leftover batches smaller than a full scan window run one-by-one
-            # (avoids compiling a second scan shape)
-            for mix_b, clean_b in pending:
-                state, _ = self.train_step(
-                    state,
-                    jax.device_put(jnp.asarray(mix_b), bs),
-                    jax.device_put(jnp.asarray(clean_b), bs),
-                )
-                n += 1
             dt = time.time() - t0
             metrics = self.validate(state, val_ds)
             metrics["epoch_time_s"] = dt
@@ -466,8 +478,8 @@ class Trainer:
             clean = src[:, 0]
             m, _ = self.eval_step(
                 state,
-                jax.device_put(jnp.asarray(mix), bs),
-                jax.device_put(jnp.asarray(clean), bs),
+                put_global_batch(mix, bs),
+                put_global_batch(clean, bs),
             )
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))

@@ -20,6 +20,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from speech_enhancement_clskd_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -141,11 +141,43 @@ def test_train_steps_scan_matches_sequential(batch):
 
 
 def test_fit_with_scan_steps():
-    """fit() with scan_steps>1 runs every batch (incl. the non-full tail)."""
-    # synthetic_size=16, batch=4 -> 4 batches/epoch; K=3 -> one scan of 3
-    # plus 1 leftover single step.
+    """fit() with scan_steps>1 compiles ONE scan program: tail batches carry
+    into the next epoch's window, the final partial window is dropped
+    (reference DataLoader drop_last=True semantics, dataloader.py:19)."""
+    # synthetic_size=16, batch=4 -> 4 batches/epoch; K=3 over 2 epochs ->
+    # 8 batches -> two full scan windows (6 steps), 2 carried+dropped.
     cfg = tiny_cfg(distill=DistillConfig(strategy="mse"), scan_steps=3)
     tr = Trainer(cfg)
-    st, hist = tr.fit(epochs=1, log_fn=lambda *_: None)
-    assert int(st.step) == 4
+    st, hist = tr.fit(epochs=2, log_fn=lambda *_: None)
+    assert int(st.step) == 6
     assert np.isfinite(hist["si_sdr"])
+
+
+def test_bf16_loss_parity_with_f32(batch):
+    """bf16 compute path (model + taps + ABF chain) tracks the f32 losses
+    within tolerance over several optimizer steps (VERDICT round-1 item 2)."""
+    mix, clean = batch
+
+    def run(dtype):
+        cfg = tiny_cfg(
+            distill=DistillConfig(strategy="clskd", taps_dtype=dtype),
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            teacher=dataclasses.replace(TINY_T, compute_dtype=dtype),
+            student=dataclasses.replace(TINY_S, compute_dtype=dtype),
+        )
+        tr = Trainer(cfg)
+        st = tr.init_state()
+        losses = []
+        for _ in range(4):
+            st, logs = tr.train_step(st, mix, clean)
+            losses.append(float(logs["train_loss"]))
+        return np.asarray(losses)
+
+    f32 = run("float32")
+    bf16 = run("bfloat16")
+    assert np.all(np.isfinite(bf16))
+    # same magnitude and same descent direction
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=5e-3)
+    assert bf16[-1] < bf16[0] + 1e-3
