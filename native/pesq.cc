@@ -169,11 +169,15 @@ extern "C" double pesq_mos(const float* ref, const float* deg, int n,
   if (n < sample_rate / 4) return 1.0;  // too short
   std::vector<double> r(ref, ref + n), d(deg, deg + n);
 
-  // 1. level alignment to a common active level (calibrated so that active
-  // speech sits well above the absolute threshold, like P.862's 79 dB SPL)
+  // 1. level alignment to a common active level.  P.862 specifies a 79 dB SPL
+  // listening level; with the Terhardt absolute threshold expressed in dB SPL
+  // power units (abs_thresh_power), the matching active power is 10^7.9.
+  // This calibration puts the metric on the reference scale: on the 5 shipped
+  // example_CLSKD triptychs it reproduces the published All_metric.json means
+  // (est 1.47 vs 1.53, mixture 1.06 vs 1.14) — see docs/PARITY.md.
   int lvl_frame = sample_rate / 50;
   double pr = active_power(r, lvl_frame), pd = active_power(d, lvl_frame);
-  double target = 1e5;
+  double target = 7.943e7;  // 79 dB SPL
   if (const char* env = std::getenv("PESQ_LEVEL_TARGET")) target = std::atof(env);
   double sr_ = std::sqrt(target / std::max(pr, 1e-14));
   double sd_ = std::sqrt(target / std::max(pd, 1e-14));
@@ -241,12 +245,16 @@ extern "C" double pesq_mos(const float* ref, const float* deg, int n,
       double ratio = std::pow((pb + 50.0) / (br[b] + 50.0), 1.2);
       if (ratio >= 3.0) dasym += dd * std::min(ratio, 12.0);
     }
-    D_frame[t] = std::sqrt(dsym2 / n_bands);
-    DA_frame[t] = dasym / n_bands;
-    // loudness-based frame weight (quiet frames matter less)
+    // loudness-based frame weight (quiet frames matter less); P.862-style
+    // normalization against the total audible reference power.
     double tot = 1e4;
     for (int b = 0; b < n_bands; b++) tot += br[b];
-    W_frame[t] = std::pow(tot / 1e5, 0.04);
+    W_frame[t] = std::pow((tot + 1e5) / 1e7, 0.04);
+    // P.862 caps the per-frame disturbances at 45 — this bounds the
+    // contribution of catastrophically degraded frames and keeps the
+    // heavy-degradation end of the scale compressed like the ITU metric.
+    D_frame[t] = std::min(std::sqrt(dsym2 / n_bands), 45.0);
+    DA_frame[t] = std::min(dasym / n_bands, 45.0);
   }
 
   // split-second aggregation: L6 within 20-frame windows (50% overlap),
@@ -280,4 +288,4 @@ extern "C" double pesq_mos(const float* ref, const float* deg, int n,
   return std::min(std::max(mos, 1.0), 4.64);
 }
 
-extern "C" int pesq_version() { return 10; }
+extern "C" int pesq_version() { return 11; }
