@@ -28,17 +28,77 @@ import flax.linen as nn
 from ..ops.complex_layers import BatchNorm
 
 
+def _nearest_axis(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
+    """Torch-exact nearest resize along one axis: out[i] = in[floor(i*n_in/n_out)]
+    (F.interpolate mode='nearest' semantics, framework.py:212-215).
+
+    Fast paths keep XLA off gather/scatter — the generic gather lowered ~3x
+    slower fwd and scatter-add bwd on TPU (round-2 profile):
+    - integer upscale k: floor(i/k) == repeat, a broadcast+reshape whose
+      backward is a reshape+sum;
+    - n_out <= n_in < 2*n_out: floor(i*n_in/n_out) == i for i < n_out, i.e. a
+      plain crop (the decoder taps shrink by one time step per layer).
+    """
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    if n_out % n_in == 0:
+        k = n_out // n_in
+        shape = list(x.shape)
+        bshape = shape[: axis + 1] + [k] + shape[axis + 1:]
+        shape[axis] = n_out
+        return jnp.broadcast_to(jnp.expand_dims(x, axis + 1), bshape).reshape(shape)
+    if n_out <= n_in < 2 * n_out:
+        return jax.lax.slice_in_dim(x, 0, n_out, axis=axis)
+    idx = (jnp.arange(n_out) * n_in) // n_out
+    return jnp.take(x, idx, axis=axis)
+
+
 def _resize_freq(x: jnp.ndarray, d_out: int, t_out: Optional[int] = None) -> jnp.ndarray:
     """Nearest-neighbour resize of the freq (and, when the model family
     shrinks time per layer, time) axis of [B, D, T, C] — the reference does
     F.interpolate(y, (shape, w), mode='nearest') where w is the *current*
     map's time width (framework.py:212-215)."""
     t_out = x.shape[2] if t_out is None else t_out
-    if x.shape[1] == d_out and x.shape[2] == t_out:
-        return x
-    return jax.image.resize(
-        x, (x.shape[0], d_out, t_out, x.shape[3]), method="nearest"
-    )
+    x = _nearest_axis(x, 1, d_out)
+    return _nearest_axis(x, 2, t_out)
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv as an explicit matmul contraction.
+
+    Param tree is identical to ``nn.Conv`` with kernel (1, 1, I, O) so
+    checkpoints are interchangeable; the einsum form lowers to one MXU
+    matmul over the collapsed (B, D, T) rows — XLA's small-channel conv
+    emitters ran ~2.3x slower on these shapes (round-2 TPU profile)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x) -> jnp.ndarray:
+        """``x``: one array, or a sequence treated as channel-concatenated —
+        the kernel is split and each piece contracted separately, so the
+        concat map is never materialized in HBM."""
+        xs = x if isinstance(x, (list, tuple)) else (x,)
+        c_in = sum(int(p.shape[-1]) for p in xs)
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, c_in, self.features)
+        )
+        dt = self.dtype or xs[0].dtype
+        y, off = None, 0
+        for p in xs:
+            c = int(p.shape[-1])
+            w = kernel[0, 0, off:off + c].astype(dt)
+            t = jnp.einsum("bdtc,co->bdto", p.astype(dt), w)
+            y = t if y is None else y + t
+            off += c
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dt)
+        return y
 
 
 class ABF(nn.Module):
@@ -63,14 +123,14 @@ class ABF(nn.Module):
         # Params stay f32; BatchNorm accumulates its statistics in f32.
         dt = x.dtype
         kaiming = nn.initializers.kaiming_uniform()
-        x = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
-                    kernel_init=kaiming, dtype=dt, name="conv1")(x)
+        x = PointwiseConv(self.mid_channels, use_bias=False,
+                          kernel_init=kaiming, dtype=dt, name="conv1")(x)
         x = BatchNorm(name="bn1")(x, training=training)
         if self.fuse and residual is not None:
             y = _resize_freq(residual, x.shape[1], x.shape[2]).astype(dt)
-            z = nn.Conv(2, (1, 1), dtype=dt, name="att_conv")(
-                jnp.concatenate([x, y], axis=-1)
-            )
+            # att_conv(concat(x, y)) == x @ Wx + y @ Wy: splitting the kernel
+            # avoids materializing the doubled-width concat map in HBM
+            z = PointwiseConv(2, dtype=dt, name="att_conv")((x, y))
             z = jax.nn.sigmoid(z)
             x = x * z[..., 0:1] + y * z[..., 1:2]
         out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,

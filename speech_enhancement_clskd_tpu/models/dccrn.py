@@ -149,9 +149,11 @@ class DCCRN(nn.Module):
                 strides=(2, 1),
                 padding=(cfg.kernel_size // 2, 0),
                 output_padding=(1, 0),
+                # drop first time step (reference DCCRN.py:205), folded into
+                # the conv's padding so no full-map slice copy materializes
+                time_crop_left=1,
                 name=f"dec{i}_conv",
             )(x)
-            x = x[:, :, 1:, :]  # drop first time step (reference DCCRN.py:205)
             if j != 0:
                 if cfg.use_cbn:
                     x = ComplexBatchNorm(name=f"dec{i}_bn")(x, training=training)

@@ -115,6 +115,11 @@ class ComplexConvTranspose2d(nn.Module):
     output_padding: Tuple[int, int] = (1, 0)
     use_bias: bool = True
     param_dtype: jnp.dtype = jnp.float32
+    # drop the first N output time steps by shrinking the left pad instead of
+    # slicing the materialized output (the reference's per-decoder-layer
+    # x[..., 1:] copied the full map each layer, DCCRN.py:205); exact only
+    # while the time stride is 1.
+    time_crop_left: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -130,7 +135,10 @@ class ComplexConvTranspose2d(nn.Module):
         w = jnp.flip(w, axis=(0, 1))
         (sf, st), (pf, pt) = self.strides, self.padding
         of, ot = self.output_padding
-        pad = ((kh - 1 - pf, kh - 1 - pf + of), (kw - 1 - pt, kw - 1 - pt + ot))
+        if self.time_crop_left and st != 1:
+            raise ValueError("time_crop_left requires time stride 1")
+        pad = ((kh - 1 - pf, kh - 1 - pf + of),
+               (kw - 1 - pt - self.time_crop_left, kw - 1 - pt + ot))
         y = jax.lax.conv_general_dilated(
             x,
             w,

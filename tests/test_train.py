@@ -133,11 +133,16 @@ def test_train_steps_scan_matches_sequential(batch):
     )
     # Params agree up to float reassociation across the scan/jit boundary
     # (the per-step losses above already pin the sequential semantics).
-    pa = jax.tree.leaves(st_a.student_params)
+    # Conv-bias grads are full-map sums that cancel to ~1e-3 of their term
+    # magnitudes, so reassociation noise there is relatively large — compare
+    # biases with a looser absolute bound.
+    pa = jax.tree_util.tree_flatten_with_path(st_a.student_params)[0]
     pb = jax.tree.leaves(st_b.student_params)
-    for a, b in zip(pa, pb):
+    for (path, a), b in zip(pa, pb):
+        name = jax.tree_util.keystr(path)
+        atol = 2e-3 if name.endswith("']['br']") or name.endswith("']['bi']") else 5e-4
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-4)
+                                   rtol=5e-3, atol=atol, err_msg=name)
 
 
 def test_fit_with_scan_steps():
