@@ -71,26 +71,38 @@ def main():
             bs,
         )
         clean = mix * 0.9
+        def host_fence(logs) -> float:
+            # real device->host readback: jax.block_until_ready does NOT
+            # synchronize through the axon TPU tunnel (VERDICT.md round 1)
+            return float(np.asarray(logs["train_loss"]))
+
         st, logs = tr.train_step(st, mix, clean)
-        jax.block_until_ready(logs["train_loss"])
+        host_fence(logs)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             st, logs = tr.train_step(st, mix, clean)
-        jax.block_until_ready(logs["train_loss"])
+        host_fence(logs)
         dt = (time.perf_counter() - t0) / args.steps
         tput = B * args.segment / dt
         if base is None:
             base = tput
-        rows.append(
-            {
-                "devices": n,
-                "batch": B,
-                "step_time_s": round(dt, 4),
-                "audio_s_per_s": round(tput, 1),
-                "scaling_efficiency": round(tput / (base * n), 3),
-                "backend": jax.default_backend(),
-            }
-        )
+        row = {
+            "devices": n,
+            "batch": B,
+            "step_time_s": round(dt, 4),
+            "audio_s_per_s": round(tput, 1),
+            "backend": jax.default_backend(),
+        }
+        if jax.default_backend() == "cpu":
+            # Virtual devices share one host's cores, so "n x resources"
+            # scaling efficiency is not measurable here.  What IS meaningful
+            # is the sharding overhead: aggregate throughput retained vs the
+            # unsharded program on the same fixed silicon (ideal = 1.0).
+            row["parallel_overhead_retained"] = round(tput / base, 3)
+            row["note"] = "virtual shared-host mesh: validates sharded program structure, not ICI scaling"
+        else:
+            row["scaling_efficiency"] = round(tput / (base * n), 3)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"scaling": rows}))
 
