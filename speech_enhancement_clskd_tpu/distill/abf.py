@@ -36,8 +36,10 @@ def _nearest_axis(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
     slower fwd and scatter-add bwd on TPU (round-2 profile):
     - integer upscale k: floor(i/k) == repeat, a broadcast+reshape whose
       backward is a reshape+sum;
-    - n_out <= n_in < 2*n_out: floor(i*n_in/n_out) == i for i < n_out, i.e. a
-      plain crop (the decoder taps shrink by one time step per layer).
+    - n_in == n_out + 1: floor(i*(n_out+1)/n_out) == i for every i < n_out
+      (i*(n_in-n_out) < n_out holds iff n_in-n_out == 1), i.e. a plain crop.
+      Larger downscales fall through to the exact gather — a crop would pick
+      the wrong indices (e.g. 6->4 is [0,1,3,4], not [0,1,2,3]).
     """
     n_in = x.shape[axis]
     if n_in == n_out:
@@ -48,7 +50,7 @@ def _nearest_axis(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
         bshape = shape[: axis + 1] + [k] + shape[axis + 1:]
         shape[axis] = n_out
         return jnp.broadcast_to(jnp.expand_dims(x, axis + 1), bshape).reshape(shape)
-    if n_out <= n_in < 2 * n_out:
+    if n_in - n_out == 1:
         return jax.lax.slice_in_dim(x, 0, n_out, axis=axis)
     idx = (jnp.arange(n_out) * n_in) // n_out
     return jnp.take(x, idx, axis=axis)
