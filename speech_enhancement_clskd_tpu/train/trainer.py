@@ -37,6 +37,7 @@ from ..data import (
 )
 from ..distill.abf import ReviewKD
 from ..distill.strategies import distill_loss, needs_fusion
+from ..losses.pit import pit_reorder
 from ..losses.signal import si_sdr
 from ..metrics.stoi import stoi_batch
 from ..models.dccrn import DCCRN, make_model
@@ -338,20 +339,38 @@ class Trainer:
         student = self.student
         sr = self.cfg.data.sample_rate
 
-        def eval_step(state: TrainState, mix, clean):
+        def eval_step(state: TrainState, mix, sources):
+            """``sources``: [B, n_src, T].  Estimates are PIT-reordered
+            against the sources before metrics, as the reference's
+            validation_step does (distill.py:164-174) — jax.jit retraces per
+            (batch, n_src) shape, so the n_src branches below are static."""
             out = student.apply(
                 {"params": state.student_params,
                  "batch_stats": state.student_stats},
                 mix, training=False,
             )
             est = out.wav
-            # batched on-device metrics (the reference round-tripped every
-            # utterance to host numpy, SURVEY.md section 3.1)
+            est_s = est if est.ndim == 3 else est[:, None, :]  # [B, n_est, T]
+            n_src = sources.shape[1]
+            if n_src > 1 and est_s.shape[1] == n_src:
+                est_s, _ = pit_reorder(est_s, sources)
+            elif n_src > 1:
+                # single-output model on a multi-source task: score vs s0
+                # (matches the offline eval fallback, eval/evaluate.py)
+                sources = sources[:, :1]
+                n_src = 1
+            # metrics over every matched (estimate, source) pair, batched
+            # on device (the reference round-tripped every utterance to
+            # host numpy, SURVEY.md section 3.1)
+            T = sources.shape[-1]
+            est_f = est_s[:, :n_src].reshape(-1, T)
+            src_f = sources.reshape(-1, T)
+            mix_f = jnp.repeat(mix, n_src, axis=0) if n_src > 1 else mix
             m = {
-                "si_sdr": si_sdr(clean, est),
-                "input_si_sdr": si_sdr(clean, mix),
-                "stoi": jnp.mean(stoi_batch(clean, est, fs=sr)),
-                "input_stoi": jnp.mean(stoi_batch(clean, mix, fs=sr)),
+                "si_sdr": si_sdr(src_f, est_f),
+                "input_si_sdr": si_sdr(src_f, mix_f),
+                "stoi": jnp.mean(stoi_batch(src_f, est_f, fs=sr)),
+                "input_stoi": jnp.mean(stoi_batch(src_f, mix_f, fs=sr)),
             }
             m["si_sdr_imp"] = m["si_sdr"] - m["input_si_sdr"]
             m["stoi_imp"] = m["stoi"] - m["input_stoi"]
@@ -359,11 +378,11 @@ class Trainer:
 
         return jax.jit(eval_step)
 
-    def eval_step(self, state: TrainState, mix, clean):
+    def eval_step(self, state: TrainState, mix, sources):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         with self.mesh:
-            return self._eval_step(state, mix, clean)
+            return self._eval_step(state, mix, sources)
 
     # -------------------------------------------------------------- fit loop
 
@@ -475,11 +494,10 @@ class Trainer:
         bs = batch_sharding(self.mesh)
         agg: Dict[str, list] = {}
         for mix, src in loader:
-            clean = src[:, 0]
             m, _ = self.eval_step(
                 state,
                 put_global_batch(mix, bs),
-                put_global_batch(clean, bs),
+                put_global_batch(src, bs),
             )
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))

@@ -186,3 +186,68 @@ def test_bf16_loss_parity_with_f32(batch):
     # same magnitude and same descent direction
     np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=5e-3)
     assert bf16[-1] < bf16[0] + 1e-3
+
+
+class _StubSep:
+    """Stand-in 'model' emitting 2 estimated sources in the WRONG order so
+    only a PIT reorder can score them correctly."""
+
+    def __init__(self, est):
+        self._est = est  # [B, 2, T]
+
+    def apply(self, variables, mix, training=False):
+        class Out:
+            wav = self._est
+
+        return Out()
+
+
+def test_eval_step_pit_reorders_two_sources():
+    """Training-time validation PIT (reference distill.py:164-174): permuted
+    estimates on a 2-source batch must recover the right order, so matched
+    SI-SDR is near-perfect where unordered scoring would be strongly
+    negative (VERDICT r2 missing #4)."""
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+
+    rng = np.random.default_rng(3)
+    B, T = 4, 4000
+    t = np.arange(T) / 16000.0
+    s0 = 0.5 * np.sin(2 * np.pi * 350 * t)[None].repeat(B, 0)
+    s1 = 0.5 * np.sign(np.sin(2 * np.pi * 923 * t))[None].repeat(B, 0)
+    sources = jnp.asarray(np.stack([s0, s1], axis=1).astype(np.float32))
+    mix = jnp.asarray((s0 + s1).astype(np.float32))
+    # estimates = sources SWAPPED + tiny noise
+    est = np.stack([s1, s0], axis=1) + 1e-4 * rng.standard_normal(
+        (B, 2, T)
+    ).astype(np.float32)
+
+    tr.student = _StubSep(jnp.asarray(est))
+    m, _ = tr.eval_step(st, mix, sources)
+    assert float(m["si_sdr"]) > 30.0, float(m["si_sdr"])
+    # (STOI itself is degenerate on pure tones — most third-octave bands are
+    # empty — so SI-SDR carries the reorder assertion; just pin finiteness.)
+    assert np.isfinite(float(m["stoi"]))
+
+    # without PIT the swapped pairing is garbage — pin that the reorder is
+    # what makes the score, not the signals themselves
+    from speech_enhancement_clskd_tpu.losses.signal import si_sdr as _si
+
+    raw = float(_si(sources.reshape(-1, T), jnp.asarray(est).reshape(-1, T)))
+    assert raw < 0.0, raw
+
+
+def test_validate_single_output_model_on_two_source_batch():
+    """A single-output student on an n_src=2 task must fall back to scoring
+    vs source 0 (matching eval/evaluate.py) instead of crashing."""
+    cfg = tiny_cfg(distill=DistillConfig(strategy="mse"))
+    tr = Trainer(cfg)
+    st = tr.init_state()
+    rng = np.random.default_rng(5)
+    mix = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    sources = jnp.asarray(
+        rng.standard_normal((2, 2, 4000)).astype(np.float32) * 0.1
+    )
+    m, _ = tr.eval_step(st, mix, sources)
+    assert np.isfinite(m["si_sdr"]) and np.isfinite(m["stoi"])
