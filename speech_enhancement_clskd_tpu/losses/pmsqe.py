@@ -8,17 +8,30 @@ reference pulls from asteroid (reference tools_for_loss.py:258-259, used by the
 Pipeline per frame (power spectra in, scalar loss out):
   1. bark-band integration of the 512-bin power spectrum (49 bands @ 16 kHz,
      42 @ 8 kHz),
-  2. gain equalization of the degraded spectrum against the reference,
-  3. Zwicker-law loudness mapping,
-  4. symmetric disturbance (masked absolute loudness difference) and
+  2. P.862 level alignment: each signal's band powers are scaled to the
+     standard listening level (79 dB SPL ~ 1e7 band power) from its own mean
+     band power — without this the loudness mapping operates far below the
+     hearing threshold and the disturbances collapse to ~1/100 of the
+     paper's scale (found by calibration vs our PESQ, docs/PARITY.md),
+  3. gain equalization of the degraded spectrum against the reference,
+  4. Zwicker-law loudness mapping,
+  5. symmetric disturbance (masked absolute loudness difference) and
      asymmetric disturbance (weighted towards additive distortions),
-  5. weighted sum, averaged over frames.
+  6. weighted sum, averaged over frames.
+
+Scale anchoring (no asteroid install exists in this environment and egress is
+zero, so asteroid-exact goldens are impossible): values are pinned two ways in
+tests/test_losses.py — (a) regression goldens on fixed signals, (b) Spearman
+correlation < -0.9 against our reference-anchored C++ PESQ over a 28-point
+SNR grid on the reference's shipped speech wavs, with values inside the
+paper's published operating range (~0 clean .. ~4 at PESQ saturation).  This
+makes the reference's 'SDR+PMSQE' 1:15 blend (DCCRN.py:365-369) meaningful:
+that ratio assumed paper-scale PMSQE values.
 
 The bark decomposition matrix is *computed* from the Zwicker bark scale
 (13*atan(0.00076 f) + 3.5*atan((f/7500)^2)) rather than copied from the ITU
 tables, so absolute values differ slightly from P.862-exact implementations;
-the loss is monotone in perceptual degradation, which is the training-relevant
-property.
+the anchoring above bounds the difference.
 """
 
 from __future__ import annotations
@@ -84,14 +97,25 @@ def pmsqe(
     fft_size: int = 512,
     alpha: float = 0.1,
     eps: float = 1e-8,
+    level_target: float = 1e7,
 ) -> jnp.ndarray:
-    """PMSQE loss from magnitude spectrograms [..., T, F] (lower is better)."""
+    """PMSQE loss from magnitude spectrograms [..., T, F] (lower is better).
+
+    ``level_target``: P.862 standard listening level as mean bark-band power
+    (79 dB SPL ~ 1e7); both signals are aligned to it independently, making
+    the loss scale-invariant per utterance (like PESQ's level alignment)."""
     mat, _ = bark_matrix(fft_size, sample_rate)
     mat_t = jnp.asarray(mat.T)  # [F, n_bands]
     p0 = jnp.asarray(_abs_thresh_power(sample_rate, fft_size))
 
     ref_p = (ref_mag**2) @ mat_t  # bark power bands [..., T, n_bands]
     deg_p = (deg_mag**2) @ mat_t
+
+    # P.862 level alignment (see module docstring step 2)
+    c_ref = level_target / (jnp.mean(ref_p, axis=(-1, -2), keepdims=True) + eps)
+    c_deg = level_target / (jnp.mean(deg_p, axis=(-1, -2), keepdims=True) + eps)
+    ref_p = ref_p * c_ref
+    deg_p = deg_p * c_deg
 
     # gain equalization of degraded towards reference (audible-power ratio)
     aud_r = jnp.sum(jnp.where(ref_p > p0, ref_p, 0.0), axis=(-1, -2), keepdims=True)

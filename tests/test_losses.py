@@ -1,6 +1,8 @@
 """Loss library golden tests vs torch implementations of the documented
 reference formulas (tools_for_loss.py, framework.py)."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -135,6 +137,59 @@ def test_pmsqe_orders(rng):
     p2 = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(heavy)))
     assert p0 < p1 < p2
     assert p0 < 0.05
+
+
+def test_pmsqe_value_goldens(rng):
+    """Pin the PMSQE scale with fixed-signal regression goldens (VERDICT r2
+    next #7: asteroid is not installable here, so the anchor is (a) these
+    frozen values and (b) the PESQ-correlation test below)."""
+    g = np.random.default_rng(1234)
+    clean = g.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    want = {0.0: 0.013202, 0.01: 0.015037, 0.03: 0.040250, 0.1: 0.267454}
+    for noise, expected in want.items():
+        deg = clean + noise * g.standard_normal((1, 16000)).astype(np.float32)
+        v = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(deg)))
+        np.testing.assert_allclose(v, expected, rtol=2e-3, err_msg=str(noise))
+
+
+def test_pmsqe_scale_invariance(rng):
+    """P.862 level alignment makes the loss per-utterance scale-invariant."""
+    clean = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    deg = clean + 0.03 * rng.standard_normal((1, 16000)).astype(np.float32)
+    v1 = float(pmsqe_from_wav(jnp.asarray(clean), jnp.asarray(deg)))
+    v2 = float(pmsqe_from_wav(jnp.asarray(20 * clean), jnp.asarray(20 * deg)))
+    np.testing.assert_allclose(v1, v2, rtol=1e-4)
+
+
+_REF_EX = "/root/reference/example_CLSKD"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_EX), reason="reference wavs absent")
+def test_pmsqe_tracks_pesq_on_reference_speech():
+    """PMSQE must rank-correlate strongly (negatively) with PESQ and sit in
+    the paper's operating range on real speech: 4 reference utterances x 7
+    SNRs of additive white noise (Martin-Donas et al. 2018, fig. 2)."""
+    from scipy.stats import spearmanr
+
+    from speech_enhancement_clskd_tpu.data.wav import read_wav
+    from speech_enhancement_clskd_tpu.metrics.pesq import pesq_wb
+
+    pms, pqs = [], []
+    for ex in sorted(os.listdir(_REF_EX))[:4]:
+        clean, _sr = read_wav(os.path.join(_REF_EX, ex, "s0.wav"))
+        clean = np.asarray(clean, np.float32)[: 3 * 16000]
+        for snr_db in [40, 30, 20, 15, 10, 5, 0]:
+            g = np.random.default_rng(abs(hash((ex, snr_db))) % 2**31)
+            n = g.standard_normal(len(clean)).astype(np.float32)
+            n *= np.sqrt(np.mean(clean**2) / np.mean(n**2) / 10 ** (snr_db / 10))
+            deg = clean + n
+            pms.append(float(pmsqe_from_wav(jnp.asarray(clean[None]),
+                                            jnp.asarray(deg[None]))))
+            pqs.append(pesq_wb(clean, deg))
+    rho = spearmanr(np.asarray(pms), np.asarray(pqs)).statistic
+    assert rho < -0.9, (rho, list(zip(pms, pqs)))
+    # paper operating range: near 0 for clean-ish, a few units at saturation
+    assert 0.0 < min(pms) < 0.5 and 2.0 < max(pms) < 12.0, (min(pms), max(pms))
 
 
 @pytest.mark.parametrize(
