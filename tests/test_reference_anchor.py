@@ -89,3 +89,39 @@ def test_pesq_on_reference_scale(triptychs):
     # self-score hits the WB MOS-LQO ceiling
     clean0 = triptychs[0][0]
     assert pesq_wb(clean0, clean0, triptychs[0][3]) > 4.5
+
+
+# Second, independent anchor (VERDICT r2 next #9): the SPKD-distilled student
+# shipped at checkpoint_SPKD/SPKD_best_model.pth, whose full-set means are
+# published in results/All_metric_SPKD.json.  Running it through our torch-free
+# loader + forward on the same 5 utterances doubles the anchoring constraints
+# at zero new data cost (different weights, different published means).
+SPKD_CKPT = "/root/reference/checkpoint_SPKD/SPKD_best_model.pth"
+REF_SPKD_STOI, REF_SPKD_PESQ = 0.8435, 1.3971
+
+
+@pytest.mark.skipif(not os.path.exists(SPKD_CKPT), reason="SPKD ckpt absent")
+def test_spkd_checkpoint_on_reference_scale(triptychs):
+    import jax.numpy as jnp
+
+    from speech_enhancement_clskd_tpu.metrics.pesq import pesq_wb
+    from speech_enhancement_clskd_tpu.metrics.stoi import stoi
+    from speech_enhancement_clskd_tpu.models.dccrnet import (
+        load_reference_bundle,
+    )
+
+    model, variables = load_reference_bundle(SPKD_CKPT)
+    st, pq = [], []
+    for clean, mix, _est, sr in triptychs:
+        est = np.asarray(
+            model.apply(variables, jnp.asarray(mix[None]), training=False,
+                        bn_batch_stats=True).wav
+        )[0][: len(clean)]
+        st.append(float(stoi(clean, est, fs=sr)))
+        pq.append(pesq_wb(clean, est, sr))
+    st, pq = np.array(st), np.array(pq)
+    # sample-of-5 mean bands at the published SPKD-student scale
+    # (measured: stoi 0.8701, pesq 1.2353 — docs/PARITY.md round 3)
+    assert abs(st.mean() - REF_SPKD_STOI) < 0.06, st
+    assert abs(pq.mean() - REF_SPKD_PESQ) < 0.35, pq
+    assert (st > 0.75).all() and (st < 0.99).all()
