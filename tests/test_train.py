@@ -135,12 +135,15 @@ def test_train_steps_scan_matches_sequential(batch):
     # (the per-step losses above already pin the sequential semantics).
     # Conv-bias grads are full-map sums that cancel to ~1e-3 of their term
     # magnitudes, so reassociation noise there is relatively large — compare
-    # biases with a looser absolute bound.
+    # biases with a looser absolute bound.  Observed worst-case bias delta
+    # on this exact configuration: 9.5e-4 at ['enc0_conv']['bi'] (biases
+    # start near 0, so a relative bound is meaningless — record the
+    # measurement here so any future loosening of 1.5e-3 is visible).
     pa = jax.tree_util.tree_flatten_with_path(st_a.student_params)[0]
     pb = jax.tree.leaves(st_b.student_params)
     for (path, a), b in zip(pa, pb):
         name = jax.tree_util.keystr(path)
-        atol = 2e-3 if name.endswith("']['br']") or name.endswith("']['bi']") else 5e-4
+        atol = 1.5e-3 if name.endswith("']['br']") or name.endswith("']['bi']") else 5e-4
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=atol, err_msg=name)
 
