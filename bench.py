@@ -59,6 +59,12 @@ def main():
                     help="K optimizer steps fused into one dispatch")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--abf-remat", action="store_true",
+                    help="recompute ABF blocks in backward (less HBM traffic)")
+    ap.add_argument("--conv-pallas", action="store_true",
+                    help="opt-in Pallas 3x3 conv in ABF (docs/PERF.md)")
+    ap.add_argument("--attfuse-pallas", action="store_true",
+                    help="opt-in Pallas fused resize+attention in ABF")
     ap.add_argument("--trace-dir", default=None,
                     help="dump a jax.profiler trace of one round here")
     args = ap.parse_args()
@@ -92,7 +98,10 @@ def main():
         student=dataclasses.replace(STUDENT, compute_dtype=args.dtype),
         data=DataConfig(synthetic=True, batch_size=batch, segment=seg_s),
         distill=DistillConfig(strategy="clskd",
-                              taps_dtype=args.taps_dtype or args.dtype),
+                              taps_dtype=args.taps_dtype or args.dtype,
+                              abf_remat=args.abf_remat,
+                              abf_conv_pallas=args.conv_pallas,
+                              abf_attfuse_pallas=args.attfuse_pallas),
         mesh=MeshConfig(data=-1, model=1),
     )
     trainer = Trainer(cfg)
@@ -173,6 +182,8 @@ def main():
         "batch": batch,
         "scan_steps": K,
         "dtype": args.dtype,
+        "abf_remat": args.abf_remat,
+        "abf_pallas": [args.conv_pallas, args.attfuse_pallas],
         "timing": "host-readback fence (block_until_ready is a no-op on axon)",
     }
     if flops_per_step:

@@ -1,66 +1,72 @@
 """Measure the Pallas gram-pair kernel vs XLA einsum crossover on TPU.
 
-Evidence for losses/kd._PALLAS_MIN_D (VERDICT r2 next #3): times the SPKD
-loss value+grad at [B, D] for a sweep of D covering the spkd strategy's
-waveform shape [32, 48000], on both the fused Pallas kernel and the XLA
-dot_general path.  Prints one JSON line per row plus a summary.
+VERDICT round 2 weak #3: the kernel's dispatch threshold (_PALLAS_MIN_D)
+excluded every reference configuration — the spkd strategy's waveforms are
+[32, 48000] and 48000 < 65536.  This script times both paths (fwd + a VJP
+pull) at the real spkd shape and a D sweep, prints one JSON line per row,
+and is the evidence behind the threshold committed in losses/kd.py.
 
-Run: python scripts/bench_gram.py  (real TPU; honest host-readback fence)
+Run on the TPU: python scripts/bench_gram.py
 """
 
 import json
-import sys
 import time
-
-sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from speech_enhancement_clskd_tpu.losses.kd import spkd_loss
+from speech_enhancement_clskd_tpu.utils.jax_setup import enable_compilation_cache
 
 
-def timed(fn, *args, rounds=16):
-    val = fn(*args)
-    float(jax.tree.leaves(val)[0].sum())  # compile + fence
+def time_fn(fn, *args, rounds=20):
+    out = fn(*args)
+    float(jnp.sum(out))  # host readback = the only reliable fence on axon
     t0 = time.perf_counter()
     for _ in range(rounds):
-        val = fn(*args)
-    f = float(jax.tree.leaves(val)[0].sum())  # host readback fences the queue
-    return (time.perf_counter() - t0) / rounds, f
+        out = fn(*args)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / rounds
 
 
 def main():
-    B = 32
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
+    B = 32
     rows = []
-    for D in (16_000, 48_000, 96_000, 256_000, 1_000_000, 4_000_000):
-        s = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-        t = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    for d in (16_000, 48_000, 96_000, 256_000, 1_000_000):
+        s = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
 
-        def make(use_pallas):
-            def f(s, t):
-                val, grad = jax.value_and_grad(
-                    lambda s_: spkd_loss(s_, t, use_pallas=use_pallas)
-                )(s)
-                return val + grad.sum()
+        grad_pallas = jax.jit(
+            jax.grad(lambda a, b: spkd_loss(a, b, use_pallas=True))
+        )
+        grad_xla = jax.jit(
+            jax.grad(lambda a, b: spkd_loss(a, b, use_pallas=False))
+        )
+        fwd_pallas = jax.jit(lambda a, b: spkd_loss(a, b, use_pallas=True))
+        fwd_xla = jax.jit(lambda a, b: spkd_loss(a, b, use_pallas=False))
 
-            return jax.jit(f)
-
-        row = {"B": B, "D": D}
-        for name, flag in (("pallas", True), ("xla", False)):
-            try:
-                dt, _ = timed(make(flag), s, t)
-                row[f"{name}_ms"] = round(dt * 1e3, 4)
-            except Exception as e:  # pallas may refuse a shape
-                row[f"{name}_ms"] = None
-                row[f"{name}_err"] = str(e)[:120]
-        if row.get("pallas_ms") and row.get("xla_ms"):
-            row["pallas_speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
+        row = {
+            "metric": "spkd_gram_ms",
+            "B": B,
+            "D": d,
+            "fwd_pallas_ms": round(time_fn(fwd_pallas, s, t) * 1e3, 4),
+            "fwd_xla_ms": round(time_fn(fwd_xla, s, t) * 1e3, 4),
+            "grad_pallas_ms": round(time_fn(grad_pallas, s, t) * 1e3, 4),
+            "grad_xla_ms": round(time_fn(grad_xla, s, t) * 1e3, 4),
+        }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({"gram_crossover": rows, "device": str(jax.devices()[0])}))
+    # summary: smallest D where the pallas path wins both fwd and grad
+    wins = [
+        r["D"]
+        for r in rows
+        if r["fwd_pallas_ms"] < r["fwd_xla_ms"]
+        and r["grad_pallas_ms"] < r["grad_xla_ms"]
+    ]
+    print(json.dumps({"pallas_wins_at_D": wins}))
 
 
 if __name__ == "__main__":

@@ -139,6 +139,13 @@ class DistillConfig:
     # rematerialize ABF blocks in backward (recompute the teacher-sized fused
     # maps instead of storing them) — enables larger per-chip batches.
     abf_remat: bool = False
+    # Pallas kernels for the ABF chain (opt-in): measured at parity with
+    # XLA standalone but SLOWER in-context on v5e (290 vs 233 ms/step,
+    # docs/PERF.md round 3) because the custom-call boundary blocks XLA's
+    # surrounding fusions.  Kept for geometries/backends where the layout
+    # trade goes the other way; both paths are golden-tested identical.
+    abf_conv_pallas: bool = False
+    abf_attfuse_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.complex_layers import BatchNorm
+from ..ops.pallas.attfuse import (
+    attention_fuse,
+    attfuse_available,
+    attfuse_dispatchable,
+)
+from ..ops.pallas.conv3x3 import _conv3x3_xla, conv3x3, conv3x3_available
 
 
 def _nearest_axis(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
@@ -103,6 +109,76 @@ class PointwiseConv(nn.Module):
         return y
 
 
+class AttentionFuse(nn.Module):
+    """2-way sigmoid attention fusion of a map with the propagated residual
+    (reference framework.py:207-219): resize residual to the map's geometry,
+    ``z = sigmoid(att_conv(concat(x, y)))``, blend ``x*z0 + y*z1``.
+
+    Param tree is identical to the 1x1 ``att_conv`` (kernel (1, 1, 2C, 2) +
+    bias), so checkpoints are interchangeable with the split-einsum form.
+    On TPU with ABF geometry (equal time widths, integer freq upscale) the
+    whole step runs as one fused Pallas kernel that expands the residual in
+    VMEM — the teacher-sized upscaled map never touches HBM (docs/PERF.md
+    diagnosis 3).  Elsewhere: XLA split-kernel einsums over the materialized
+    resize (the concat map is still never built).
+    """
+
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, 2 * c, 2)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (2,))
+        dt = self.dtype or x.dtype
+        if (
+            self.use_pallas
+            and attfuse_available()
+            and attfuse_dispatchable(x.shape, res.shape)
+        ):
+            wx = kernel[0, 0, :c].astype(dt)
+            wy = kernel[0, 0, c:].astype(dt)
+            return attention_fuse(
+                x.astype(dt), res.astype(dt), wx, wy, bias.astype(dt)
+            )
+        y = _resize_freq(res, x.shape[1], x.shape[2]).astype(dt)
+        zx = jnp.einsum("bdtc,co->bdto", x.astype(dt), kernel[0, 0, :c].astype(dt))
+        zy = jnp.einsum("bdtc,co->bdto", y, kernel[0, 0, c:].astype(dt))
+        z = jax.nn.sigmoid(zx + zy + bias.astype(dt))
+        return x * z[..., 0:1] + y * z[..., 1:2]
+
+
+class Conv3x3(nn.Module):
+    """Bias-free 3x3 SAME conv via the fused Pallas kernel on TPU.
+
+    Param tree is identical to ``nn.Conv(features, (3, 3), padding=1,
+    use_bias=False)`` — kernel (3, 3, I, O), same initializer fan-in — so
+    checkpoints are interchangeable.  The Pallas path reads/writes the map
+    in the einsum-native [B, D, T, C] layout, killing the relayout copies
+    XLA inserted around ``conv_general_dilated`` (docs/PERF.md diagnosis 1-2);
+    off-TPU it lowers to the plain XLA conv.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features)
+        )
+        dt = self.dtype or x.dtype
+        x, kernel = x.astype(dt), kernel.astype(dt)
+        if self.use_pallas and conv3x3_available():
+            return conv3x3(x, kernel)
+        return _conv3x3_xla(x, kernel)
+
+
 class ABF(nn.Module):
     """One fusion block: 1x1 conv->BN, optional 2-way sigmoid attention fusion
     with the propagated residual, 3x3 conv->BN out (framework.py:176-224)."""
@@ -110,6 +186,8 @@ class ABF(nn.Module):
     mid_channels: int
     out_channels: int
     fuse: bool
+    conv_pallas: bool = False
+    attfuse_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -129,14 +207,11 @@ class ABF(nn.Module):
                           kernel_init=kaiming, dtype=dt, name="conv1")(x)
         x = BatchNorm(name="bn1")(x, training=training)
         if self.fuse and residual is not None:
-            y = _resize_freq(residual, x.shape[1], x.shape[2]).astype(dt)
-            # att_conv(concat(x, y)) == x @ Wx + y @ Wy: splitting the kernel
-            # avoids materializing the doubled-width concat map in HBM
-            z = PointwiseConv(2, dtype=dt, name="att_conv")((x, y))
-            z = jax.nn.sigmoid(z)
-            x = x * z[..., 0:1] + y * z[..., 1:2]
-        out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                      kernel_init=kaiming, dtype=dt, name="conv2")(x)
+            x = AttentionFuse(
+                dtype=dt, use_pallas=self.attfuse_pallas, name="att_conv"
+            )(x, residual)
+        out = Conv3x3(self.out_channels, kernel_init=kaiming, dtype=dt,
+                      use_pallas=self.conv_pallas, name="conv2")(x)
         out = BatchNorm(name="bn2")(out, training=training)
         return out, x
 
@@ -154,6 +229,8 @@ class ReviewKD(nn.Module):
     reverse: bool = True
     remat: bool = False  # checkpoint each ABF block: fused maps (teacher-
     # sized, the memory hot spot) are recomputed in backward instead of stored
+    conv_pallas: bool = False  # opt-in Pallas kernels (see DistillConfig)
+    attfuse_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -168,7 +245,9 @@ class ReviewKD(nn.Module):
         res = None
         for i, f in enumerate(xs):
             out, res = block(
-                self.mid_channels, outs_ch[i], fuse=i > 0, name=f"abf{i}"
+                self.mid_channels, outs_ch[i], fuse=i > 0,
+                conv_pallas=self.conv_pallas,
+                attfuse_pallas=self.attfuse_pallas, name=f"abf{i}"
             )(f, res, training)
             results.append(out)
         return results[::-1] if self.reverse else results

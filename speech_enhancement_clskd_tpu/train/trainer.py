@@ -88,10 +88,12 @@ class Trainer:
             enc_ch, dec_ch = _teacher_tap_channels(cfg.teacher)
             mid = cfg.distill.abf_mid_channels
             rm = cfg.distill.abf_remat
+            kp = dict(conv_pallas=cfg.distill.abf_conv_pallas,
+                      attfuse_pallas=cfg.distill.abf_attfuse_pallas)
             self.abf_enc = ReviewKD(out_channels=enc_ch, mid_channels=mid,
-                                    reverse=True, remat=rm)
+                                    reverse=True, remat=rm, **kp)
             self.abf_dec = ReviewKD(out_channels=dec_ch, mid_channels=mid,
-                                    reverse=False, remat=rm)
+                                    reverse=False, remat=rm, **kp)
         else:
             self.abf_enc = self.abf_dec = None
         self.tx = self._make_optimizer()
