@@ -10,7 +10,11 @@ Run on the TPU: python scripts/bench_gram.py
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,14 @@ replaced by a plain pure function).
 
 The Gram matmul ``[B, D] @ [D, B]`` with huge D is HBM-bandwidth-bound; a
 fused Pallas kernel (``ops/pallas/gram.py``, custom VJP) computes BOTH Grams
-in one pass and is dispatched automatically on TPU when D is large; XLA
-einsum everywhere else.
+in one HBM pass.  Measured crossover on v5e (scripts/bench_gram.py,
+GRAM_BENCH_r03.json): below D ~ 0.5 M the two paths are equal
+within the dispatch floor — at the spkd strategy's [32, 48000] waveforms XLA
+is marginally FASTER forward (1.26 vs 1.53 ms) — and the fused kernel's
+backward only wins from D ~ 1 M (2.74 vs 3.04 ms).  Dispatch therefore fires
+only for 2-D inputs with D >= _PALLAS_MIN_D (1 << 19); every reference
+configuration (spkd waveforms 48 k, 4-D CLSKD taps) deliberately takes the
+native-layout XLA dot_general below.
 """
 
 from __future__ import annotations
@@ -18,9 +24,11 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-# taps smaller than this per row go through plain XLA einsum (kernel launch
-# not worth it); the CLSKD taps are D ~ 0.2-15 M, far above.
-_PALLAS_MIN_D = 1 << 16
+# Measured v5e crossover (see module docstring): XLA and the fused kernel are
+# indistinguishable below ~0.5 M elements/row; the kernel's one-pass backward
+# wins ~10% from ~1 M.  4-D taps never dispatch here regardless (the
+# reshape(B, -1) relayout would cost more than the fusion saves — see _gram).
+_PALLAS_MIN_D = 1 << 19
 
 
 def _gram(z: jnp.ndarray, batch_axis: int = 0) -> jnp.ndarray:

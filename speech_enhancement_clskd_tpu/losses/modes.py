@@ -40,8 +40,19 @@ def dccrn_loss(
 
     est_real/est_imag: the masked spectrum (needed by the *+LMS modes);
     stft_kernels: analysis kernels for the mel terms.
+
+    All loss arithmetic runs in f32 regardless of the model's compute dtype:
+    the zoo's log/division/Bark terms (PMSQE especially) overflow in bf16 —
+    a bf16 teacher pretrain NaN'd within 50 steps before this upcast — and
+    the loss tail is a negligible share of step time.
     """
     k = stft_kernels or stft_ops.make_kernels()
+    inputs = inputs.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    if est_real is not None:
+        est_real = est_real.astype(jnp.float32)
+    if est_imag is not None:
+        est_imag = est_imag.astype(jnp.float32)
 
     if loss_mode == "MSE":
         return jnp.mean((inputs - labels) ** 2)
