@@ -28,10 +28,14 @@ from ..models.dccrn import DCCRNOutput
 
 
 def base_loss(student_wav: jnp.ndarray, clean: jnp.ndarray, dcfg: DistillConfig) -> jnp.ndarray:
-    """MRSTFT magnitude term vs the clean target (reference distill.py:100-101)."""
+    """MRSTFT magnitude term vs the clean target (reference distill.py:100-101).
+
+    Runs in f32 regardless of the model compute dtype (same policy as
+    ``dccrn_loss``): the log-magnitude term is the numerically fragile tail
+    of the step and costs nothing next to the models."""
     _, mag = multi_resolution_stft_loss(
-        student_wav,
-        clean,
+        student_wav.astype(jnp.float32),
+        clean.astype(jnp.float32),
         fft_sizes=dcfg.mrstft_fft_sizes,
         hop_sizes=dcfg.mrstft_hop_sizes,
         win_lengths=dcfg.mrstft_win_lengths,
