@@ -39,10 +39,6 @@ def device_events(spaces):
     (XLA op lines), skipping host/python planes."""
     for xs in spaces:
         for plane in xs.planes:
-            if "TPU" not in plane.name or "#Chip" not in plane.name.replace(
-                "device", ""
-            ) and "TPU" not in plane.name:
-                pass
             if "TPU" not in plane.name:
                 continue
             stat_md = {k: v.name for k, v in plane.stat_metadata.items()}

@@ -116,6 +116,12 @@ class DistillConfig:
 
     strategy: 'clskd' | 'reviewkd' | 'spkd' | 'mse' | 'stft'
     (the five training scripts of the reference, SURVEY.md section 0).
+
+    Numerics note: the scalar loss (and ``base_loss``/``dccrn_loss``) is
+    always computed and returned in float32 even under bfloat16 compute —
+    the log-magnitude loss tail is the numerically fragile part of the step
+    and costs nothing next to the models.  bf16 benchmark configs therefore
+    measure an op mix whose loss tail is f32 by design.
     """
 
     strategy: str = "clskd"

@@ -127,28 +127,60 @@ class AttentionFuse(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        res: jnp.ndarray,
+        affine: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        """``affine``: optional per-channel f32 ``(a, b)`` BatchNorm
+        coefficients with ``xhat = x * a + b`` (from
+        ``BatchNorm(return_affine=True)``), folded into the attention
+        contraction and the blend so the normalized map never materializes.
+
+        Byte-structure of the XLA path (docs/PERF.md round 4): the residual's
+        attention logit is contracted at the SMALL pre-upscale size and only
+        the 2-channel logits are freq-expanded; the upscaled residual is then
+        consumed exactly once, by the elementwise blend, where XLA fuses the
+        nearest-upscale broadcast — so neither the teacher-sized upscaled
+        residual nor the bn1-normalized map ever round-trips through HBM.
+        """
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (1, 1, 2 * c, 2)
         )
         bias = self.param("bias", nn.initializers.zeros, (2,))
         dt = self.dtype or x.dtype
+        wx = kernel[0, 0, :c]
+        wy = kernel[0, 0, c:]
         if (
             self.use_pallas
             and attfuse_available()
             and attfuse_dispatchable(x.shape, res.shape)
         ):
-            wx = kernel[0, 0, :c].astype(dt)
-            wy = kernel[0, 0, c:].astype(dt)
+            # the opt-in fused kernel consumes the normalized map directly
+            xh = x if affine is None else x * affine[0].astype(dt) + affine[1].astype(dt)
             return attention_fuse(
-                x.astype(dt), res.astype(dt), wx, wy, bias.astype(dt)
+                xh.astype(dt), res.astype(dt), wx.astype(dt), wy.astype(dt),
+                bias.astype(dt),
             )
-        y = _resize_freq(res, x.shape[1], x.shape[2]).astype(dt)
-        zx = jnp.einsum("bdtc,co->bdto", x.astype(dt), kernel[0, 0, :c].astype(dt))
-        zy = jnp.einsum("bdtc,co->bdto", y, kernel[0, 0, c:].astype(dt))
-        z = jax.nn.sigmoid(zx + zy + bias.astype(dt))
-        return x * z[..., 0:1] + y * z[..., 1:2]
+        if affine is None:
+            wx_eff = wx.astype(dt)
+            z_off = bias.astype(dt)
+            xhat = x.astype(dt)
+        else:
+            a, b0 = affine  # f32 [C]
+            wx_eff = (a[:, None] * wx).astype(dt)  # xhat@wx == x@(a*wx) + b0@wx
+            z_off = (b0 @ wx + bias.astype(jnp.float32)).astype(dt)
+            xhat = x * a.astype(dt) + b0.astype(dt)  # fuses into the blend
+        y_small = _nearest_axis(res, 2, x.shape[2]).astype(dt)  # time (no-op usually)
+        zx = jnp.einsum("bdtc,co->bdto", x.astype(dt), wx_eff)
+        zy = _nearest_axis(  # contract small, expand the 2-channel logits
+            jnp.einsum("bdtc,co->bdto", y_small, wy.astype(dt)), 1, x.shape[1]
+        )
+        z = jax.nn.sigmoid(zx + zy + z_off)
+        y = _nearest_axis(y_small, 1, x.shape[1])  # broadcast fuses into blend
+        return xhat * z[..., 0:1] + y * z[..., 1:2]
 
 
 class Conv3x3(nn.Module):
@@ -205,11 +237,17 @@ class ABF(nn.Module):
         kaiming = nn.initializers.kaiming_uniform()
         x = PointwiseConv(self.mid_channels, use_bias=False,
                           kernel_init=kaiming, dtype=dt, name="conv1")(x)
-        x = BatchNorm(name="bn1")(x, training=training)
         if self.fuse and residual is not None:
+            # fold bn1 into the fusion: stats are computed (and running
+            # stats updated) but the normalized map is never materialized —
+            # AttentionFuse folds the affine into its contraction and blend
+            aff = BatchNorm(name="bn1")(x, training=training,
+                                        return_affine=True)
             x = AttentionFuse(
                 dtype=dt, use_pallas=self.attfuse_pallas, name="att_conv"
-            )(x, residual)
+            )(x, residual, affine=aff)
+        else:
+            x = BatchNorm(name="bn1")(x, training=training)
         out = Conv3x3(self.out_channels, kernel_init=kaiming, dtype=dt,
                       use_pallas=self.conv_pallas, name="conv2")(x)
         out = BatchNorm(name="bn2")(out, training=training)

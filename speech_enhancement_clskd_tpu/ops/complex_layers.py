@@ -242,13 +242,21 @@ class BatchNorm(nn.Module):
         x: jnp.ndarray,
         training: bool = True,
         use_batch_stats: bool = None,
+        return_affine: bool = False,
     ) -> jnp.ndarray:
         """``use_batch_stats`` decouples *which* statistics normalize from
         *whether* running stats update (which follows ``training`` alone).
         Default None = follow ``training``.  ``use_batch_stats=True`` with
         ``training=False`` reproduces the reference eval quirk: its
         ``eval.py`` never calls ``model.eval()``, so inference uses
-        per-batch statistics (verified against the shipped example wavs)."""
+        per-batch statistics (verified against the shipped example wavs).
+
+        ``return_affine=True`` returns the per-channel f32 coefficients
+        ``(a, b)`` with ``normalize(x) == x * a + b`` INSTEAD of the
+        normalized map (running stats still update).  Callers fold the
+        affine into downstream contractions/elementwise chains so the
+        normalized map itself never materializes in HBM — the ABF chain
+        uses this to kill its bn1-apply pass (docs/PERF.md round 4)."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
@@ -280,6 +288,10 @@ class BatchNorm(nn.Module):
                 )
         else:
             mean, var = ra_mean.value, ra_var.value
+        if return_affine:
+            inv32 = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+            a = inv32 * scale.astype(jnp.float32)
+            return a, bias.astype(jnp.float32) - mean.astype(jnp.float32) * a
         inv = jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
         return (x - mean.astype(x.dtype)) * inv * scale.astype(x.dtype) + bias.astype(
             x.dtype

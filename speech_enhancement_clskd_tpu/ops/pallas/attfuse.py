@@ -50,10 +50,16 @@ def attfuse_available() -> bool:
 
 
 def attfuse_dispatchable(x_shape, res_shape) -> bool:
-    """Geometry the kernel handles: same B/T/C, integer freq upscale."""
+    """Geometry the kernel handles: same B/T/C, integer freq upscale, and a
+    freq tile that divides D, covers the upscale factor, and fits the VMEM
+    budget (``_pick_td`` returning 0 means no such tile — e.g. upscale
+    factor > 16 or a huge T*C row; those fall back to the XLA path instead
+    of risking an over-budget Mosaic compile)."""
     b, d, t, c = x_shape
     rb, dp, rt, rc = res_shape
-    return rb == b and rt == t and rc == c and d % dp == 0
+    if not (rb == b and rt == t and rc == c and d % dp == 0):
+        return False
+    return _pick_td(d, d // dp, t, c) > 0
 
 
 def _pad_len(t: int) -> int:
@@ -63,13 +69,16 @@ def _pad_len(t: int) -> int:
 
 
 def _pick_td(d: int, k: int, t: int, c: int) -> int:
+    """Freq-rows-per-program tile, or 0 if no candidate both divides D /
+    covers the upscale factor k and fits the VMEM working-set budget
+    (callers must gate dispatch on a nonzero return)."""
     tp = _pad_len(t)
     for td in (16, 8, 4, 2, 1):
         if d % td or td % k:
             continue
         if 8 * td * tp * c * 2 <= _TMP_BUDGET_BYTES:
             return td
-    return k
+    return 0
 
 
 def _expand(r: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -156,6 +165,11 @@ def _fwd_raw(x, res, wx, wy, bias, interpret):
     dp_rows = res.shape[1]
     k = d // dp_rows
     td = _pick_td(d, k, t, c)
+    if td == 0:
+        raise ValueError(
+            f"attfuse: no freq tile fits geometry d={d} k={k} t={t} c={c}; "
+            "gate dispatch with attfuse_dispatchable()"
+        )
     return pl.pallas_call(
         partial(_fwd_kernel, k=k, tp=_pad_len(t)),
         grid=(bsz, d // td),
@@ -184,6 +198,11 @@ def _bwd_raw(x, res, z, g, wx, wy, interpret):
     dp_rows = res.shape[1]
     k = d // dp_rows
     td = _pick_td(d, k, t, c)
+    if td == 0:
+        raise ValueError(
+            f"attfuse: no freq tile fits geometry d={d} k={k} t={t} c={c}; "
+            "gate dispatch with attfuse_dispatchable()"
+        )
     return pl.pallas_call(
         partial(_bwd_kernel, k=k, tp=_pad_len(t)),
         grid=(bsz, d // td),

@@ -315,11 +315,28 @@ class Trainer:
             # host->device dispatch latency that dominates single-step time
             # on tunneled/remote TPUs; on a pod it also lets XLA overlap the
             # tail of step k with the head of step k+1.
-            def body(st, batch):
-                st, logs = raw(st, batch[0], batch[1])
-                return st, logs
+            #
+            # The frozen teacher is deliberately NOT part of the scan carry:
+            # invariant carry elements still get threaded (and copied) through
+            # the while-loop state every iteration — the round-3 trace charged
+            # 9.6 GB/step to scan state threading (docs/PERF.md by-source-line
+            # table).  Closing over them keeps the teacher weights as loop
+            # constants outside the carry.
+            teacher_params = state.teacher_params
+            teacher_stats = state.teacher_stats
+            carry0 = state.replace(teacher_params=None, teacher_stats=None)
 
-            state, logs = jax.lax.scan(body, state, (mix_stack, clean_stack))
+            def body(st, batch):
+                st = st.replace(
+                    teacher_params=teacher_params, teacher_stats=teacher_stats
+                )
+                st, logs = raw(st, batch[0], batch[1])
+                return st.replace(teacher_params=None, teacher_stats=None), logs
+
+            carry, logs = jax.lax.scan(body, carry0, (mix_stack, clean_stack))
+            state = carry.replace(
+                teacher_params=teacher_params, teacher_stats=teacher_stats
+            )
             return state, logs  # logs: each leaf stacked [K]
 
         return jax.jit(train_scan, donate_argnums=(0,))
@@ -494,6 +511,10 @@ class Trainer:
         loader = make_loader(val_ds, min(self.cfg.data.batch_size, len(val_ds)),
                              shuffle=False)
         bs = batch_sharding(self.mesh)
+        # keep per-batch metrics ON DEVICE and read back once at the end —
+        # a float(v) per batch per metric would insert a host sync into
+        # every val step (the same pattern the reference's eval loop pays
+        # for, SURVEY.md section 3.1)
         agg: Dict[str, list] = {}
         for mix, src in loader:
             m, _ = self.eval_step(
@@ -502,5 +523,6 @@ class Trainer:
                 put_global_batch(src, bs),
             )
             for k, v in m.items():
-                agg.setdefault(k, []).append(float(v))
-        return {k: float(np.mean(v)) for k, v in agg.items()}
+                agg.setdefault(k, []).append(v)
+        agg_host = jax.device_get(agg)  # ONE device->host transfer
+        return {k: float(np.mean(v)) for k, v in agg_host.items()}

@@ -71,3 +71,10 @@ def test_dispatch_gate():
     assert not attfuse_dispatchable((2, 8, 21, 8), (2, 3, 21, 8))  # 8 % 3
     assert not attfuse_dispatchable((2, 8, 21, 8), (2, 4, 20, 8))  # T differs
     assert not attfuse_dispatchable((2, 8, 21, 8), (2, 4, 21, 4))  # C differs
+    # no candidate tile both divides D and covers the upscale factor
+    # (k = 32 > max tile 16): must refuse rather than compile over-budget
+    assert not attfuse_dispatchable((2, 32, 21, 8), (2, 1, 21, 8))
+    # huge T*C row blowing the VMEM budget at every tile size
+    assert not attfuse_dispatchable(
+        (1, 4, 100_000, 512), (1, 2, 100_000, 512)
+    )

@@ -69,7 +69,17 @@ def test_bf16_io_f32_accumulation(rng):
 
 
 def test_pick_td_divides_and_fits():
+    # assert against the kernel's OWN budget formula/constants, so a
+    # regression in the real logic is caught (round-3 advisor finding)
+    from speech_enhancement_clskd_tpu.ops.pallas.conv3x3 import (
+        _TMP_BUDGET_BYTES,
+        _pad_len,
+    )
+
     for dcur in (4, 8, 16, 32, 64, 128, 256, 483):
-        td = _pick_td(dcur, 483, 64, 512)
+        c, o = 64, 512
+        td = _pick_td(dcur, 483, c, o)
         assert dcur % td == 0
-        assert td * 483 * (3 * 64 * 4 + 512 * 4) <= 16 * 1024 * 1024
+        tp = _pad_len(483)
+        tmp = td * tp * (3 * c * 2 + o * 4 + 3 * c * 2)
+        assert td == 1 or tmp <= _TMP_BUDGET_BYTES
