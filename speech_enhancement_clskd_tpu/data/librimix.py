@@ -61,6 +61,7 @@ class LibriMixDataset:
             if not cands:
                 raise FileNotFoundError(f"no manifest csv in {csv_dir}")
             csv_path = os.path.join(csv_dir, sorted(cands)[0])
+        self.csv_path = csv_path
         self.rows: List[dict] = []
         min_len = int(segment * sample_rate) if segment else 0
         with open(csv_path) as f:

