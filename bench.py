@@ -65,6 +65,8 @@ def main():
                     help="opt-in Pallas 3x3 conv in ABF (docs/PERF.md)")
     ap.add_argument("--attfuse-pallas", action="store_true",
                     help="opt-in Pallas fused resize+attention in ABF")
+    ap.add_argument("--block-pallas", action="store_true",
+                    help="whole-ABF-block fused kernel (docs/PERF.md round 4)")
     ap.add_argument("--trace-dir", default=None,
                     help="dump a jax.profiler trace of one round here")
     args = ap.parse_args()
@@ -101,7 +103,8 @@ def main():
                               taps_dtype=args.taps_dtype or args.dtype,
                               abf_remat=args.abf_remat,
                               abf_conv_pallas=args.conv_pallas,
-                              abf_attfuse_pallas=args.attfuse_pallas),
+                              abf_attfuse_pallas=args.attfuse_pallas,
+                              abf_block_pallas=args.block_pallas),
         mesh=MeshConfig(data=-1, model=1),
     )
     trainer = Trainer(cfg)
@@ -184,6 +187,7 @@ def main():
         "dtype": args.dtype,
         "abf_remat": args.abf_remat,
         "abf_pallas": [args.conv_pallas, args.attfuse_pallas],
+        "abf_block_pallas": args.block_pallas,
         "timing": "host-readback fence (block_until_ready is a no-op on axon)",
     }
     if flops_per_step:

@@ -18,7 +18,10 @@ import sys
 
 
 def load_planes(trace_dir):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # tf >= 2.21 moved the proto
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
@@ -44,8 +47,10 @@ def device_events(spaces):
             stat_md = {k: v.name for k, v in plane.stat_metadata.items()}
             ev_md = {k: v for k, v in plane.event_metadata.items()}
             for line in plane.lines:
-                lname = line.name.lower()
-                if "step" in lname and "xla" not in lname:
+                # Only the synchronous op timeline: 'XLA Modules' (the whole
+                # dispatch), 'Steps' and 'Async XLA Ops' (copy-start/done
+                # spans that OVERLAP compute) would double-count device time.
+                if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
                     md = ev_md.get(ev.metadata_id)
@@ -53,15 +58,14 @@ def device_events(spaces):
                     stats = {}
                     for st in list(ev.stats) + (list(md.stats) if md else []):
                         key = stat_md.get(st.metadata_id, str(st.metadata_id))
-                        val = (
-                            st.value.int64_value
-                            or st.value.uint64_value
-                            or st.value.double_value
-                        )
-                        if st.value.str_value:
-                            val = st.value.str_value
-                        if st.value.ref_value:
-                            val = stat_md.get(st.value.ref_value, val)
+                        # XStat is a flat oneof in the tsl proto (value.* in
+                        # the legacy tensorflow.core one)
+                        v = getattr(st, "value", st)
+                        val = v.int64_value or v.uint64_value or v.double_value
+                        if v.str_value:
+                            val = v.str_value
+                        if v.ref_value:
+                            val = stat_md.get(v.ref_value, val)
                         stats[key] = val
                     yield name, ev.duration_ps, stats
 

@@ -152,6 +152,11 @@ class DistillConfig:
     # trade goes the other way; both paths are golden-tested identical.
     abf_conv_pallas: bool = False
     abf_attfuse_pallas: bool = False
+    # Whole-ABF-block fused kernel (ops/pallas/abf_block.py): fold-blend +
+    # 3x3 conv in one custom call with a hand-derived block VJP — the
+    # round-4 byte-reduction plan (docs/PERF.md).  Auto-gated on TPU
+    # availability and block geometry; falls back to the XLA path otherwise.
+    abf_block_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,11 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.complex_layers import BatchNorm
+from ..ops.pallas.abf_block import (
+    abf_block,
+    abf_block_available,
+    abf_block_dispatchable,
+)
 from ..ops.pallas.attfuse import (
     attention_fuse,
     attfuse_available,
@@ -109,6 +114,77 @@ class PointwiseConv(nn.Module):
         return y
 
 
+class _AttParams(nn.Module):
+    """Bare att_conv parameters with ``AttentionFuse``'s exact tree (kernel
+    (1, 1, 2C, 2) + bias (2,), same inits) for the whole-block kernel path."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, 2 * self.channels, 2),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (2,))
+        return kernel, bias
+
+
+class _Conv2Kernel(nn.Module):
+    """Bare 3x3 kernel with ``Conv3x3``'s exact tree/init."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, c_in: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", self.kernel_init, (3, 3, c_in, self.features)
+        )
+
+
+class _Conv1Kernel(nn.Module):
+    """Bare parameter holder with ``PointwiseConv``'s exact tree (kernel
+    (1, 1, I, O), same init) so checkpoints stay interchangeable; the ABF
+    orchestrates the contraction itself to keep x1 out of HBM."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, c_in: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", self.kernel_init, (1, 1, c_in, self.features)
+        )[0, 0]
+
+
+def _channel_moments(x: jnp.ndarray):
+    """f32 per-channel first moment [C] and second-moment matrix [C, C] of a
+    [..., C] map, reducing over all leading axes in the input's native layout
+    (one dot_general — no reshape relayout, accumulate in f32)."""
+    axes = tuple(range(x.ndim - 1))
+    n = x.size // x.shape[-1]
+    m1 = jnp.mean(x.astype(jnp.float32), axis=axes)
+    m2 = jax.lax.dot_general(
+        x, x, dimension_numbers=((axes, axes), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / n
+    return m1, m2, n
+
+
+def _bn1_moments_from_tap(tap: jnp.ndarray, w1: jnp.ndarray):
+    """Batch-norm moments of ``x1 = tap @ w1`` WITHOUT materializing x1:
+    mean = m1 @ w1 and E[x1^2]_m = (w1^T E[tap tap^T] w1)_mm, so the biased
+    variance follows from the tap's channel moments alone (docs/PERF.md
+    round 4 — this is what lets conv1's output live only inside fusions)."""
+    m1, m2, n = _channel_moments(tap)
+    w1f = w1.astype(jnp.float32)
+    mean = m1 @ w1f
+    e2 = jnp.einsum("cm,cd,dm->m", w1f, m2, w1f)
+    var = e2 - jnp.square(mean)
+    return mean, var, n
+
+
 class AttentionFuse(nn.Module):
     """2-way sigmoid attention fusion of a map with the propagated residual
     (reference framework.py:207-219): resize residual to the map's geometry,
@@ -125,6 +201,7 @@ class AttentionFuse(nn.Module):
 
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    channels: Optional[int] = None  # att channel count when x is the raw tap
 
     @nn.compact
     def __call__(
@@ -132,11 +209,22 @@ class AttentionFuse(nn.Module):
         x: jnp.ndarray,
         res: jnp.ndarray,
         affine: Optional[tuple] = None,
+        w_in: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``affine``: optional per-channel f32 ``(a, b)`` BatchNorm
         coefficients with ``xhat = x * a + b`` (from
         ``BatchNorm(return_affine=True)``), folded into the attention
         contraction and the blend so the normalized map never materializes.
+
+        ``w_in``: optional [C_in, C] 1x1-conv weight folded IN FRONT of the
+        fusion: ``x`` is then the RAW tap and the normalized map is
+        ``(x @ w_in) * a + b``.  Folding the input conv means the conv
+        output x1 is consumed only inside this module's elementwise blend,
+        so XLA fuses the matmul into the blend and x1 (the mid-channel map
+        the round-3 trace charged a write + two reads per block for) never
+        exists in HBM at all; the attention logit collapses to a single
+        tap-level contraction ``x @ (w_in @ (a * wx))`` (docs/PERF.md
+        round 4).  Requires ``affine``.
 
         Byte-structure of the XLA path (docs/PERF.md round 4): the residual's
         attention logit is contracted at the SMALL pre-upscale size and only
@@ -145,7 +233,7 @@ class AttentionFuse(nn.Module):
         nearest-upscale broadcast — so neither the teacher-sized upscaled
         residual nor the bn1-normalized map ever round-trips through HBM.
         """
-        c = x.shape[-1]
+        c = self.channels or x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (1, 1, 2 * c, 2)
         )
@@ -153,13 +241,20 @@ class AttentionFuse(nn.Module):
         dt = self.dtype or x.dtype
         wx = kernel[0, 0, :c]
         wy = kernel[0, 0, c:]
+        if w_in is not None and affine is None:
+            raise ValueError("w_in folding requires the bn affine")
+        xshape = x.shape[:-1] + (c,)
         if (
             self.use_pallas
             and attfuse_available()
-            and attfuse_dispatchable(x.shape, res.shape)
+            and attfuse_dispatchable(xshape, res.shape)
         ):
             # the opt-in fused kernel consumes the normalized map directly
-            xh = x if affine is None else x * affine[0].astype(dt) + affine[1].astype(dt)
+            xh = x if affine is None else (
+                (x if w_in is None else jnp.einsum(
+                    "bdtc,cm->bdtm", x, w_in.astype(x.dtype)))
+                * affine[0].astype(dt) + affine[1].astype(dt)
+            )
             return attention_fuse(
                 xh.astype(dt), res.astype(dt), wx.astype(dt), wy.astype(dt),
                 bias.astype(dt),
@@ -168,13 +263,24 @@ class AttentionFuse(nn.Module):
             wx_eff = wx.astype(dt)
             z_off = bias.astype(dt)
             xhat = x.astype(dt)
+            zx_in = x.astype(dt)
         else:
             a, b0 = affine  # f32 [C]
-            wx_eff = (a[:, None] * wx).astype(dt)  # xhat@wx == x@(a*wx) + b0@wx
             z_off = (b0 @ wx + bias.astype(jnp.float32)).astype(dt)
-            xhat = x * a.astype(dt) + b0.astype(dt)  # fuses into the blend
+            if w_in is None:
+                wx_eff = (a[:, None] * wx).astype(dt)  # xhat@wx == x@(a*wx)+b0@wx
+                xhat = x * a.astype(dt) + b0.astype(dt)  # fuses into the blend
+                zx_in = x.astype(dt)
+            else:
+                w1f = w_in.astype(jnp.float32)
+                wx_eff = (w1f @ (a[:, None] * wx)).astype(dt)  # [C_in, 2]
+                xhat = (
+                    jnp.einsum("bdtc,cm->bdtm", x.astype(dt), w_in.astype(dt))
+                    * a.astype(dt) + b0.astype(dt)
+                )  # the matmul fuses into the blend: x1 never hits HBM
+                zx_in = x.astype(dt)
         y_small = _nearest_axis(res, 2, x.shape[2]).astype(dt)  # time (no-op usually)
-        zx = jnp.einsum("bdtc,co->bdto", x.astype(dt), wx_eff)
+        zx = jnp.einsum("bdtc,co->bdto", zx_in, wx_eff)
         zy = _nearest_axis(  # contract small, expand the 2-channel logits
             jnp.einsum("bdtc,co->bdto", y_small, wy.astype(dt)), 1, x.shape[1]
         )
@@ -220,6 +326,7 @@ class ABF(nn.Module):
     fuse: bool
     conv_pallas: bool = False
     attfuse_pallas: bool = False
+    block_pallas: bool = False  # whole-block fused kernel (ops/pallas/abf_block)
 
     @nn.compact
     def __call__(
@@ -233,21 +340,67 @@ class ABF(nn.Module):
         # hot spot of the CLSKD step — flax's default dtype=None would
         # silently promote bf16 taps back to f32 against the f32 params.
         # Params stay f32; BatchNorm accumulates its statistics in f32.
+        #
+        # Byte structure (docs/PERF.md round 4): conv1 is held as a bare
+        # kernel and folded into the downstream elementwise chains, and bn1's
+        # batch moments are derived analytically from the TAP's channel
+        # moments (mean/second-moment matrix), so the mid-channel map
+        # x1 = tap @ W1 — which round 3 charged one write + two reads per
+        # block for — never materializes in HBM in either branch.
         dt = x.dtype
+        mid = self.mid_channels
         kaiming = nn.initializers.kaiming_uniform()
-        x = PointwiseConv(self.mid_channels, use_bias=False,
-                          kernel_init=kaiming, dtype=dt, name="conv1")(x)
-        if self.fuse and residual is not None:
-            # fold bn1 into the fusion: stats are computed (and running
-            # stats updated) but the normalized map is never materialized —
-            # AttentionFuse folds the affine into its contraction and blend
-            aff = BatchNorm(name="bn1")(x, training=training,
-                                        return_affine=True)
-            x = AttentionFuse(
-                dtype=dt, use_pallas=self.attfuse_pallas, name="att_conv"
-            )(x, residual, affine=aff)
+        w1 = _Conv1Kernel(mid, kernel_init=kaiming, name="conv1")(x.shape[-1])
+        if training:
+            moments = _bn1_moments_from_tap(x, w1)
         else:
-            x = BatchNorm(name="bn1")(x, training=training)
+            moments = None  # running stats; no batch moments needed
+        aff = BatchNorm(name="bn1", features=mid)(
+            None, training=training, return_affine=True, moments=moments
+        )
+        fuse = self.fuse and residual is not None
+        if (
+            self.block_pallas
+            and abf_block_available()
+            and abf_block_dispatchable(
+                x.shape, residual.shape if fuse else None, mid,
+                self.out_channels,
+            )
+        ):
+            # whole-block Pallas kernel: fold-blend + 3x3 conv in one custom
+            # call with a hand-derived block VJP (docs/PERF.md round 4);
+            # bn2 (stats over the raw conv output) stays in XLA
+            a, b0 = aff
+            w1a_f = w1.astype(jnp.float32) * a[None, :]
+            w2k = _Conv2Kernel(self.out_channels, kernel_init=kaiming,
+                               name="conv2")(mid).astype(dt)
+            if fuse:
+                att_k, att_b = _AttParams(mid, name="att_conv")()
+                wx = att_k[0, 0, :mid].astype(jnp.float32)
+                wyk = att_k[0, 0, mid:]
+                xf, out_raw = abf_block(
+                    x, residual.astype(dt), w1a_f.astype(dt), b0,
+                    (w1a_f @ wx).astype(dt), wyk.astype(dt),
+                    b0 @ wx + att_b.astype(jnp.float32), w2k,
+                )
+            else:
+                dummy = jnp.zeros((2,), dt)
+                xf, out_raw = abf_block(
+                    x, None, w1a_f.astype(dt), b0, dummy, dummy, dummy, w2k
+                )
+            out = BatchNorm(name="bn2")(out_raw, training=training)
+            return out, xf
+        if fuse:
+            x = AttentionFuse(
+                dtype=dt, use_pallas=self.attfuse_pallas, channels=mid,
+                name="att_conv",
+            )(x, residual, affine=aff, w_in=w1)
+        else:
+            a, b0 = aff
+            x = (
+                jnp.einsum("bdtc,cm->bdtm", x.astype(dt), w1.astype(dt))
+                * a.astype(dt) + b0.astype(dt)
+            )
         out = Conv3x3(self.out_channels, kernel_init=kaiming, dtype=dt,
                       use_pallas=self.conv_pallas, name="conv2")(x)
         out = BatchNorm(name="bn2")(out, training=training)
@@ -269,6 +422,7 @@ class ReviewKD(nn.Module):
     # sized, the memory hot spot) are recomputed in backward instead of stored
     conv_pallas: bool = False  # opt-in Pallas kernels (see DistillConfig)
     attfuse_pallas: bool = False
+    block_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -285,7 +439,8 @@ class ReviewKD(nn.Module):
             out, res = block(
                 self.mid_channels, outs_ch[i], fuse=i > 0,
                 conv_pallas=self.conv_pallas,
-                attfuse_pallas=self.attfuse_pallas, name=f"abf{i}"
+                attfuse_pallas=self.attfuse_pallas,
+                block_pallas=self.block_pallas, name=f"abf{i}"
             )(f, res, training)
             results.append(out)
         return results[::-1] if self.reverse else results

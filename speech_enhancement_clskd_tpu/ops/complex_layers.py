@@ -236,6 +236,8 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     param_dtype: jnp.dtype = jnp.float32
 
+    features: int = 0  # required when x is None (moments-only call)
+
     @nn.compact
     def __call__(
         self,
@@ -243,6 +245,7 @@ class BatchNorm(nn.Module):
         training: bool = True,
         use_batch_stats: bool = None,
         return_affine: bool = False,
+        moments=None,
     ) -> jnp.ndarray:
         """``use_batch_stats`` decouples *which* statistics normalize from
         *whether* running stats update (which follows ``training`` alone).
@@ -256,8 +259,17 @@ class BatchNorm(nn.Module):
         normalized map (running stats still update).  Callers fold the
         affine into downstream contractions/elementwise chains so the
         normalized map itself never materializes in HBM — the ABF chain
-        uses this to kill its bn1-apply pass (docs/PERF.md round 4)."""
-        c = x.shape[-1]
+        uses this to kill its bn1-apply pass (docs/PERF.md round 4).
+
+        ``moments=(mean, var, n)``: f32 batch statistics computed by the
+        caller (e.g. analytically from pre-matmul channel moments, so the
+        normalized operand never materializes — docs/PERF.md round 4);
+        ``var`` is the biased variance, ``n`` the element count behind it
+        (for the unbiased running-stat update).  With ``moments`` (or with
+        ``use_batch_stats=False`` + ``return_affine``) ``x`` may be None."""
+        c = x.shape[-1] if x is not None else (
+            self.features or (moments[0].shape[-1] if moments else 0)
+        )
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         ra_mean = self.variable(
@@ -269,14 +281,19 @@ class BatchNorm(nn.Module):
         if use_batch_stats is None:
             use_batch_stats = training
         if use_batch_stats:
-            axes = tuple(range(x.ndim - 1))
-            # stats ALWAYS accumulate in f32 (the cast fuses into the reduce,
-            # so it costs no extra HBM traffic): E[x^2]-E[x]^2 over ~1e8
-            # elements is catastrophically imprecise in bf16
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-            n = x.size // c
+            if moments is not None:
+                mean, var, n = moments
+                mean = mean.astype(jnp.float32)
+                var = var.astype(jnp.float32)
+            else:
+                axes = tuple(range(x.ndim - 1))
+                # stats ALWAYS accumulate in f32 (the cast fuses into the
+                # reduce, so it costs no extra HBM traffic): E[x^2]-E[x]^2
+                # over ~1e8 elements is catastrophically imprecise in bf16
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                n = x.size // c
             unbiased = var * (n / max(n - 1, 1))
             if training and not self.is_initializing():
                 m = self.momentum

@@ -89,7 +89,8 @@ class Trainer:
             mid = cfg.distill.abf_mid_channels
             rm = cfg.distill.abf_remat
             kp = dict(conv_pallas=cfg.distill.abf_conv_pallas,
-                      attfuse_pallas=cfg.distill.abf_attfuse_pallas)
+                      attfuse_pallas=cfg.distill.abf_attfuse_pallas,
+                      block_pallas=cfg.distill.abf_block_pallas)
             self.abf_enc = ReviewKD(out_channels=enc_ch, mid_channels=mid,
                                     reverse=True, remat=rm, **kp)
             self.abf_dec = ReviewKD(out_channels=dec_ch, mid_channels=mid,
