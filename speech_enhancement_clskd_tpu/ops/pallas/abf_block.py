@@ -177,17 +177,15 @@ def _recompute_xf(
         xfr = xhat.astype(dt)
     xf3 = xfr.reshape(th, tp, m)
     # zero the conv padding: edge halo rows (their tap/res were zeroed but
-    # x̂ = bvec there) and the time pad columns
+    # x̂ = bvec there) and the time pad columns (Mosaic-friendly forms:
+    # whole-row where + slice/concat, no 1-D mask vectors)
     t = tap_c.shape[2]
-    rmask = jnp.concatenate(
-        [
-            jnp.where(i == 0, 0.0, 1.0).astype(dt)[None],
-            jnp.ones((td,), dt),
-            jnp.where(i == nd - 1, 0.0, 1.0).astype(dt)[None],
-        ]
+    top = jnp.where(i == 0, jnp.zeros_like(xf3[0:1]), xf3[0:1])
+    bot = jnp.where(i == nd - 1, jnp.zeros_like(xf3[th - 1:]), xf3[th - 1:])
+    xf3 = jnp.concatenate([top, xf3[1 : th - 1], bot], axis=0)
+    xf3 = jnp.concatenate(
+        [xf3[:, :t], jnp.zeros((th, tp - t, m), dt)], axis=1
     )
-    cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, tp, 1), 1) < t).astype(dt)
-    xf3 = xf3 * rmask[:, None, None] * cmask
     return rows, xhat, yr, z, xf3
 
 
@@ -261,10 +259,10 @@ def _bwd_kernel(
     # zero the phantom conv-adjoint values on the time-pad columns: those
     # positions don't exist, but x̂ = bvec there (tap rows are zero-padded),
     # so they would pollute the bvec/zoff accumulators below
-    cmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (td, tp, 1), 1) < t
-    ).astype(jnp.float32)
-    dxf = (dxf.reshape(td, tp, m) * cmask).reshape(td * tp, m)
+    dxf3 = dxf.reshape(td, tp, m)
+    dxf = jnp.concatenate(
+        [dxf3[:, :t], jnp.zeros((td, tp - t, m), jnp.float32)], axis=1
+    ).reshape(td * tp, m)
 
     # weight gradient of conv2 over the owned output rows (xf halo is a
     # read-only recompute here; its own-row gradients flow via dxf above)
@@ -525,9 +523,8 @@ def abf_block(
     offsets which the kernel adds to the f32 matmul accumulators.
     """
     bvec2 = bvec.reshape(1, -1)
-    zoff2 = zoff.reshape(1, 2)
     if res is None:
         return _abf_block_fn(False, interpret)(tap, w1a, bvec2, w2)
     return _abf_block_fn(True, interpret)(
-        tap, res, w1a, bvec2, wxt, wy, zoff2, w2
+        tap, res, w1a, bvec2, wxt, wy, zoff.reshape(1, 2), w2
     )
