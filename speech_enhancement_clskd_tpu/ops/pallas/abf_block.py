@@ -54,7 +54,7 @@ try:  # pallas TPU backend
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
-_TMP_BUDGET_BYTES = 6 * 1024 * 1024
+_TMP_BUDGET_BYTES = 12 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 96 * 1024 * 1024  # v5e: 128 MiB physical
 
 
@@ -77,20 +77,27 @@ def _pick_td(d: int, k: int, t: int, cs: int, m: int, o: int) -> int:
     factor k, and keep the larger of the fwd/bwd VMEM working sets within
     budget.  0 = no tile fits (callers gate dispatch)."""
     tp = _pad_len(t)
-    for td in (32, 16, 8, 4, 2, 1):
+    for td in (64, 32, 16, 8, 4, 2, 1):
         if d % td or td % k:
             continue
         rows_h = (td + 2) * tp
         fwd = rows_h * (
             cs * 2        # tap halo rows
-            + m * 4       # xhat f32
+            + m * 2       # xhat (bf16 after the f32-accum dot)
             + m * 2       # y rows
             + 3 * m * 2   # xf patches
         ) + td * tp * o * 4  # conv acc f32
         bwd = rows_h * (
-            cs * 2 + m * 4 + m * 2 + 3 * m * 2
+            m * 2         # xf halo (read back from HBM, not recomputed)
+            + 3 * m * 2   # xf patches for dw2
+            + o * 2       # g_out halo
             + 3 * o * 2   # g_out patches
-        ) + td * tp * (m * 4 + m * 4)  # dxf f32 + g_xhat f32
+        ) + td * tp * (
+            cs * 2        # tap own rows
+            + m * 2       # y own rows
+            + m * 4       # dxf f32
+            + m * 4       # g_xhat f32
+        )
         if max(fwd, bwd) <= _TMP_BUDGET_BYTES:
             return td
     return 0
@@ -152,7 +159,7 @@ def _recompute_xf(
     xhat = (
         jnp.dot(rows, w1a_ref[:], preferred_element_type=jnp.float32)
         + bvec_ref[0].astype(jnp.float32)
-    )
+    ).astype(dt)
     if fuse:
         rtop = jnp.where(i == 0, jnp.zeros_like(res_p[0]), res_p[0])
         rbot = jnp.where(i == nd - 1, jnp.zeros_like(res_n[0]), res_n[0])
@@ -168,13 +175,10 @@ def _recompute_xf(
             + zoff_ref[0].astype(jnp.float32)
         )
         z = jax.nn.sigmoid(zlog)
-        xfr = (
-            xhat.astype(dt) * z[:, 0:1].astype(dt)
-            + yr * z[:, 1:2].astype(dt)
-        )
+        xfr = xhat * z[:, 0:1].astype(dt) + yr * z[:, 1:2].astype(dt)
     else:
         yr = z = None
-        xfr = xhat.astype(dt)
+        xfr = xhat
     xf3 = xfr.reshape(th, tp, m)
     # zero the conv padding: edge halo rows (their tap/res were zeroed but
     # x̂ = bvec there) and the time pad columns (Mosaic-friendly forms:
@@ -214,13 +218,17 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    tap_p, tap_c, tap_n, res_p, res_c, res_n,
+    tap_c, res_c, xf_p, xf_c, xf_n,
     w1a_ref, bvec_ref, wxt_ref, wy_ref, zoff_ref,
     gxf_ref, go_p, go_c, go_n, w2f_ref,
     gtap_ref, gres_ref,
     dw1a_ref, dbvec_ref, dwxt_ref, dwy_ref, dzoff_ref, dw2_ref,
     *, fuse, k, td, tp,
 ):
+    """Blend is row-local, so everything except the conv adjoint needs only
+    the OWNED rows; xf (a forward output) is read back from HBM with a 1-row
+    halo instead of being recomputed from halo'd tap/res — cheaper in both
+    VMEM (bigger td) and vector work."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     nd = pl.num_programs(1)
@@ -239,12 +247,7 @@ def _bwd_kernel(
     m = w1a_ref.shape[-1]
     cs = tap_c.shape[-1]
     o = go_c.shape[-1]
-
-    taprows, xhat, yr, z, xf3 = _recompute_xf(
-        tap_p, tap_c, tap_n, res_p, res_c, res_n,
-        w1a_ref, bvec_ref, wxt_ref, wy_ref, zoff_ref,
-        fuse=fuse, k=k, td=td, tp=tp, i=i, nd=nd,
-    )
+    dt = tap_c.dtype
 
     # conv adjoint for the OWNED xf rows: SAME-conv of the g_out halo with
     # the flipped/transposed kernel (complete — includes neighbours' rows)
@@ -264,8 +267,9 @@ def _bwd_kernel(
         [dxf3[:, :t], jnp.zeros((td, tp - t, m), jnp.float32)], axis=1
     ).reshape(td * tp, m)
 
-    # weight gradient of conv2 over the owned output rows (xf halo is a
-    # read-only recompute here; its own-row gradients flow via dxf above)
+    # weight gradient of conv2 over the owned output rows, from the
+    # materialized xf (halo views; edge rows zeroed = the conv's zero pad)
+    xf3 = _padt(_halo3(xf_p, xf_c, xf_n, i, nd), tp)
     p = _patches(xf3, tp)
     go_rows = _padt(go_c[0], tp).reshape(td * tp, o)
     dim0 = (((0,), (0,)), ((), ()))
@@ -275,17 +279,25 @@ def _bwd_kernel(
             dimension_numbers=dim0, preferred_element_type=jnp.float32,
         )
 
-    # blend backward on the owned rows (row-local)
-    own = slice(tp, tp + td * tp)
-    xhat_o = xhat[own]
-    tap_o = taprows[own]
+    # blend backward — row-local, owned rows only, x̂/z recomputed in-tile
+    tap_o = _padt(tap_c[0], tp).reshape(td * tp, cs)
+    xhat_o = (
+        jnp.dot(tap_o, w1a_ref[:], preferred_element_type=jnp.float32)
+        + bvec_ref[0].astype(jnp.float32)
+    )
     if fuse:
-        y_o = yr[own].astype(jnp.float32)
-        z_o = z[own]
+        y_o = _padt(jnp.repeat(res_c[0], k, axis=0), tp).reshape(td * tp, m)
+        y_f = y_o.astype(jnp.float32)
+        zlog = (
+            jnp.dot(tap_o, wxt_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(y_o, wy_ref[:], preferred_element_type=jnp.float32)
+            + zoff_ref[0].astype(jnp.float32)
+        )
+        z_o = jax.nn.sigmoid(zlog)
         dz = jnp.concatenate(
             [
                 jnp.sum(dxf * xhat_o, axis=-1, keepdims=True),
-                jnp.sum(dxf * y_o, axis=-1, keepdims=True),
+                jnp.sum(dxf * y_f, axis=-1, keepdims=True),
             ],
             axis=-1,
         )
@@ -298,7 +310,7 @@ def _bwd_kernel(
         g_y = dxf * z_o[:, 1:2] + dp[:, 0:1] * wy[:, 0] + dp[:, 1:2] * wy[:, 1]
         gtap = (
             jnp.dot(
-                g_xhat.astype(tap_o.dtype), w1a_ref[:].T,
+                g_xhat.astype(dt), w1a_ref[:].T,
                 preferred_element_type=jnp.float32,
             )
             + dp[:, 0:1] * wxt[:, 0] + dp[:, 1:2] * wxt[:, 1]
@@ -309,23 +321,23 @@ def _bwd_kernel(
         )
         gres_ref[0] = gres.astype(gres_ref.dtype)
         dwxt_ref[:] += jax.lax.dot_general(
-            tap_o, dp.astype(tap_o.dtype), dimension_numbers=dim0,
+            tap_o, dp.astype(dt), dimension_numbers=dim0,
             preferred_element_type=jnp.float32,
         )
         dwy_ref[:] += jax.lax.dot_general(
-            y_o.astype(tap_o.dtype), dp.astype(tap_o.dtype),
+            y_o, dp.astype(dt),
             dimension_numbers=dim0, preferred_element_type=jnp.float32,
         )
         dzoff_ref[:] += jnp.sum(dp, axis=0, keepdims=True)
     else:
         g_xhat = dxf
         gtap = jnp.dot(
-            g_xhat.astype(tap_o.dtype), w1a_ref[:].T,
+            g_xhat.astype(dt), w1a_ref[:].T,
             preferred_element_type=jnp.float32,
         )
     gtap_ref[0] = gtap.reshape(td, tp, cs)[:, :t].astype(gtap_ref.dtype)
     dw1a_ref[:] += jax.lax.dot_general(
-        tap_o, g_xhat.astype(tap_o.dtype), dimension_numbers=dim0,
+        tap_o, g_xhat.astype(dt), dimension_numbers=dim0,
         preferred_element_type=jnp.float32,
     )
     dbvec_ref[:] += jnp.sum(g_xhat, axis=0, keepdims=True)
@@ -393,7 +405,7 @@ def _fwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, interpret):
     )(tap, tap, tap, res, res, res, w1a, bvec, wxt, wy, zoff, w2r)
 
 
-def _bwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, gxf, gout, interpret):
+def _bwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, xf, gxf, gout, interpret):
     bsz, d, t, cs = tap.shape
     m = w1a.shape[-1]
     o = w2.shape[-1]
@@ -406,14 +418,16 @@ def _bwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, gxf, gout, interpret):
     if not fuse:
         res = jnp.zeros(res_shape, tap.dtype)
         k = 1
-    w2r = w2.reshape(3, 3 * m, o)
     # flip/transpose for the conv adjoint: [3, 3O, M], dd and tt reversed
     w2f = jnp.transpose(w2[::-1, ::-1], (0, 1, 3, 2)).reshape(3, 3 * o, m)
     outs = pl.pallas_call(
         partial(_bwd_kernel, fuse=fuse, k=k, td=td, tp=_pad_len(t)),
         grid=(bsz, d // td),
-        in_specs=_halo_specs(td, d, t, cs)
-        + _halo_specs(td // k, d // k, t, m)
+        in_specs=[
+            pl.BlockSpec((1, td, t, cs), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, td // k, t, m), lambda b, i: (b, i, 0, 0)),
+        ]
+        + _halo_specs(td, d, t, m)
         + _small_specs(cs, m, o)
         + [pl.BlockSpec((1, td, t, m), lambda b, i: (b, i, 0, 0))]
         + _halo_specs(td, d, t, o)
@@ -440,7 +454,7 @@ def _bwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, gxf, gout, interpret):
         ],
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(tap, tap, tap, res, res, res, w1a, bvec, wxt, wy, zoff,
+    )(tap, res, xf, xf, xf, w1a, bvec, wxt, wy, zoff,
       gxf, gout, gout, gout, w2f)
     gtap, gres, dw1a, dbvec, dwxt, dwy, dzoff, dw2 = outs
     dw2 = dw2.reshape(3, 3, m, o)
@@ -457,13 +471,17 @@ def _abf_block_fn(fuse: bool, interpret: bool):
 
         def fwd(tap, res, w1a, bvec, wxt, wy, zoff, w2):
             out = _fwd_raw(tap, res, w1a, bvec, wxt, wy, zoff, w2, interpret)
-            return out, (tap, res, w1a, bvec, wxt, wy, zoff, w2)
+            # xf (out[0]) is saved for the backward's conv weight gradient —
+            # reading it back costs nothing extra vs recomputing it from
+            # halo'd tap/res, and shrinks the bwd VMEM working set
+            return out, (tap, res, w1a, bvec, wxt, wy, zoff, w2, out[0])
 
         def bwd(saved, g):
-            tap, res, w1a, bvec, wxt, wy, zoff, w2 = saved
+            tap, res, w1a, bvec, wxt, wy, zoff, w2, xf = saved
             gxf, gout = g
             gtap, gres, dw1a, dbvec, dwxt, dwy, dzoff, dw2 = _bwd_raw(
-                tap, res, w1a, bvec, wxt, wy, zoff, w2, gxf, gout, interpret
+                tap, res, w1a, bvec, wxt, wy, zoff, w2, xf, gxf, gout,
+                interpret
             )
             return (
                 gtap, gres,
@@ -484,14 +502,15 @@ def _abf_block_fn(fuse: bool, interpret: bool):
         return _fwd_raw(tap, None, w1a, bvec, z2, z2, z2, w2, interpret)
 
     def fwd_nf(tap, w1a, bvec, w2):
-        return fnf(tap, w1a, bvec, w2), (tap, w1a, bvec, w2)
+        out = fnf(tap, w1a, bvec, w2)
+        return out, (tap, w1a, bvec, w2, out[0])
 
     def bwd_nf(saved, g):
-        tap, w1a, bvec, w2 = saved
+        tap, w1a, bvec, w2, xf = saved
         gxf, gout = g
         z2 = jnp.zeros((1, 2), w1a.dtype)
         gtap, _, dw1a, dbvec, _, _, _, dw2 = _bwd_raw(
-            tap, None, w1a, bvec, z2, z2, z2, w2, gxf, gout, interpret
+            tap, None, w1a, bvec, z2, z2, z2, w2, xf, gxf, gout, interpret
         )
         return (
             gtap,
