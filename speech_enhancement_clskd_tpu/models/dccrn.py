@@ -84,7 +84,9 @@ class DCCRN(nn.Module):
         spec = stft_ops.stft(wav, k)  # [B, 2F, T'] float32
         re, im = spec[:, :F], spec[:, F:]
         spec_mags = jnp.sqrt(re**2 + im**2 + 1e-8)
-        spec_phase = jnp.arctan2(im, re)
+        # digital silence in a frame makes the spectrum exactly (0, 0);
+        # plain atan2's gradient is NaN there (safe_arctan2 docstring)
+        spec_phase = stft_ops.safe_arctan2(im, re)
 
         # drop the DC bin, go channels-last packed complex: [B, D, T, 2]
         x = jnp.stack([re[:, 1:], im[:, 1:]], axis=-1).astype(cdtype)
@@ -169,10 +171,13 @@ class DCCRN(nn.Module):
 
         mode = cfg.masking_mode
         if mode == "E":
-            mask_mags = jnp.sqrt(mask_real**2 + mask_imag**2)
+            # safe_* forms: the padded DC row is EXACTLY (0, 0) and bf16
+            # decoder outputs round to 0.0 in near-silence; plain sqrt/atan2
+            # backward is 0/0 = NaN there (the round-4 bf16 divergence)
+            mask_mags = stft_ops.safe_magnitude(mask_real, mask_imag)
             real_phase = mask_real / (mask_mags + 1e-8)
             imag_phase = mask_imag / (mask_mags + 1e-8)
-            mask_phase = jnp.arctan2(imag_phase, real_phase)
+            mask_phase = stft_ops.safe_arctan2(imag_phase, real_phase)
             est_mags = jnp.tanh(mask_mags) * spec_mags
             est_phase = spec_phase + mask_phase
             est_real = est_mags * jnp.cos(est_phase)

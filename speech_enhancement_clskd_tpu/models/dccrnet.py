@@ -55,7 +55,7 @@ from ..ops.complex_layers import (
     complex_cat,
 )
 from ..ops.complex_lstm import NaiveComplexLSTM
-from ..ops.stft import frame, overlap_add
+from ..ops.stft import frame, overlap_add, safe_magnitude
 from .dccrn import DCCRNOutput, FeatureTaps
 
 
@@ -203,7 +203,9 @@ class DCCRNet(nn.Module):
         # tanh-bounded complex mask (asteroid BoundComplexMask('tanh'))
         mf = m.astype(jnp.float32)
         mr, mi = mf[..., 0], mf[..., 1]  # [B, 256, T]
-        mag = jnp.sqrt(mr**2 + mi**2)
+        # safe form: sqrt backward is 0/0=NaN at an exact complex zero
+        # (bf16 out_conv outputs round to 0.0 in near-silence)
+        mag = safe_magnitude(mr, mi)
         scale = jnp.tanh(mag) / jnp.maximum(mag, 1e-12)
         mr = mr * scale
         mi = mi * scale

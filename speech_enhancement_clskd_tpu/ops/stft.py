@@ -146,14 +146,38 @@ def stft(x: jnp.ndarray, k: STFTKernels) -> jnp.ndarray:
     return spec
 
 
+def safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(re^2 + im^2) with a finite gradient at exactly (0, 0).
+
+    Plain sqrt's backward is re/mag = 0/0 = NaN there, and exact complex
+    zeros DO occur: the DCCRN masking path zero-pads the DC/Nyquist bin
+    back (models/dccrn.py), and bf16 decoder outputs round to 0.0 in near-
+    silence — the round-3/4 bf16 CLSKD divergence was born exactly here
+    (finite losses, NaN grad_norm; docs/PERF.md round 4).  Double-where
+    keeps the forward bit-identical and makes the subgradient 0."""
+    m2 = re * re + im * im
+    nz = m2 > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, m2, 1.0)), 0.0)
+
+
+def safe_arctan2(im: jnp.ndarray, re: jnp.ndarray) -> jnp.ndarray:
+    """arctan2 with a finite gradient at exactly (0, 0).
+
+    Forward is unchanged (atan2(0, 1) == atan2(0, 0) == 0); the gradient,
+    -im/(re^2+im^2) etc., is NaN at the origin — substituting re=1 there
+    gives the correct 0 subgradient instead."""
+    zero = jnp.logical_and(im == 0, re == 0)
+    return jnp.arctan2(
+        jnp.where(zero, 0.0, im), jnp.where(zero, 1.0, re)
+    )
+
+
 def stft_mag_phase(x: jnp.ndarray, k: STFTKernels) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Magnitude/phase view (reference feature_type='real', tools_for_model.py:62-67)."""
     spec = stft(x, k)
     F = k.fft_len // 2 + 1
     re, im = spec[:, :F], spec[:, F:]
-    mags = jnp.sqrt(re**2 + im**2)
-    phase = jnp.arctan2(im, re)
-    return mags, phase
+    return safe_magnitude(re, im), safe_arctan2(im, re)
 
 
 def istft(spec: jnp.ndarray, k: STFTKernels) -> jnp.ndarray:

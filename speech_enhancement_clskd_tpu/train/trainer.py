@@ -294,6 +294,23 @@ class Trainer:
                     abf_dec_stats=mut["abf_dec_stats"],
                 )
             logs["grad_norm"] = optax.global_norm(grads)
+            # per-subtree grad norms: a few extra scalar reduces, and the
+            # decisive diagnostic when a dtype experiment NaNs — the NaN's
+            # backward birthplace is read off from which subtrees carry it
+            # (e.g. finite dec_* but NaN enc/lstm => born in the CLSTM bwd)
+            sp = grads["student"]
+            for key, pred in (
+                ("gn_enc", lambda n: n.startswith("enc")),
+                ("gn_lstm", lambda n: n.startswith(("clstm", "rnn", "lstm"))),
+                ("gn_dec", lambda n: n.startswith("dec")),
+            ):
+                sub = [v for n, v in sp.items() if pred(n)]
+                if sub:
+                    logs[key] = optax.global_norm(sub)
+            if "abf_enc" in grads:
+                logs["gn_abf"] = optax.global_norm(
+                    (grads["abf_enc"], grads["abf_dec"])
+                )
             return state.replace(**upd), logs
 
         self._raw_train_step = train_step

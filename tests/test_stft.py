@@ -107,3 +107,80 @@ def test_frame_overlap_add_inverse(rng):
     y = np.asarray(jstft.overlap_add(frames, 100))
     # interior samples are covered by exactly win/hop = 4 frames
     np.testing.assert_allclose(y[:, 300:-300], 4 * x[:, 300:-300], atol=1e-5)
+
+
+class TestSafeGradForms:
+    """safe_magnitude / safe_arctan2: bit-identical forward, finite backward
+    at exact complex zeros (the round-4 bf16 CLSKD divergence was NaN grads
+    born at sqrt/atan2 of exactly-(0,0) mask values; docs/PERF.md)."""
+
+    def test_forward_matches_plain_on_nonzero(self):
+        import jax.numpy as jnp
+        from speech_enhancement_clskd_tpu.ops.stft import (
+            safe_arctan2,
+            safe_magnitude,
+        )
+
+        rng = np.random.default_rng(0)
+        re = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(safe_magnitude(re, im)),
+            np.asarray(jnp.sqrt(re**2 + im**2)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(safe_arctan2(im, re)),
+            np.asarray(jnp.arctan2(im, re)),
+        )
+
+    def test_gradients_finite_at_exact_zero(self):
+        import jax
+        import jax.numpy as jnp
+        from speech_enhancement_clskd_tpu.ops.stft import (
+            safe_arctan2,
+            safe_magnitude,
+        )
+
+        re = jnp.asarray([0.0, 0.5, 0.0], jnp.float32)
+        im = jnp.asarray([0.0, 0.0, 0.3], jnp.float32)
+
+        def f(re, im):
+            return jnp.sum(safe_magnitude(re, im))
+
+        def g(re, im):
+            return jnp.sum(safe_arctan2(im, re))
+
+        for fn in (f, g):
+            gr, gi = jax.grad(fn, argnums=(0, 1))(re, im)
+            assert np.isfinite(np.asarray(gr)).all(), fn.__name__
+            assert np.isfinite(np.asarray(gi)).all(), fn.__name__
+        # the PLAIN forms do NaN there — pin that the guard is load-bearing
+        gr = jax.grad(lambda r, i: jnp.sum(jnp.sqrt(r**2 + i**2)))(re, im)
+        assert not np.isfinite(np.asarray(gr)).all()
+
+    def test_dccrn_mask_grads_finite_on_silence(self):
+        """End-to-end: gradient through the full model on an input with a
+        digitally-silent region stays finite (plain atan2/sqrt NaN here)."""
+        import jax
+        import jax.numpy as jnp
+        from speech_enhancement_clskd_tpu.config import DCCRNConfig
+        from speech_enhancement_clskd_tpu.models.dccrn import make_model
+
+        cfg = DCCRNConfig(name="t", kernel_num=(4, 8), rnn_units=8)
+        model = make_model(cfg)
+        rng = np.random.default_rng(1)
+        wav = np.zeros((1, 8000), np.float32)
+        wav[0, :2000] = rng.standard_normal(2000) * 0.1  # rest: exact silence
+        wav = jnp.asarray(wav)
+        v = model.init(jax.random.PRNGKey(0), wav, training=True)
+
+        def loss(params):
+            out = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                wav, training=True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out.wav**2)
+
+        grads = jax.grad(loss)(v["params"])
+        for leaf in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
