@@ -178,7 +178,8 @@ def _evaluate(cfg, args) -> int:
     if d.synthetic:
         ds = SyntheticEnhancementDataset(
             size=d.synthetic_size, segment=d.segment,
-            sample_rate=d.sample_rate, seed=cfg.seed + 20_000)
+            sample_rate=d.sample_rate, seed=cfg.seed + 20_000,
+            profile=d.synthetic_profile)
     else:
         ds = LibriMixDataset(d.test_dir, d.task, d.sample_rate, d.n_src,
                              segment=None)

@@ -108,6 +108,9 @@ class DataConfig:
     shuffle_buffer: int = 2048
     synthetic: bool = False  # use the synthetic generator (no corpus on disk)
     synthetic_size: int = 2048
+    # 'default' | 'hard' — hard adds multi-type noise (babble/hum/clicks),
+    # wider SNR and 50% reverb: the tougher quality proxy (VERDICT r3 #1)
+    synthetic_profile: str = "default"
 
 
 @dataclass(frozen=True)

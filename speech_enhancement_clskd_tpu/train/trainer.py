@@ -429,10 +429,12 @@ class Trainer:
             train = SyntheticEnhancementDataset(
                 size=d.synthetic_size, segment=d.segment or 3.0,
                 sample_rate=d.sample_rate, seed=self.cfg.seed,
+                profile=d.synthetic_profile,
             )
             val = SyntheticEnhancementDataset(
                 size=max(8, d.synthetic_size // 16), segment=d.segment or 3.0,
                 sample_rate=d.sample_rate, seed=self.cfg.seed + 10_000,
+                profile=d.synthetic_profile,
             )
         elif d.dataset == "dns":
             train = DNSDataset(d.train_dir, d.sample_rate, d.segment,

@@ -71,3 +71,45 @@ def test_npy_dataset(tmp_path, rng):
     noisy, clean = ds[1]
     assert noisy.shape == (100,) and clean.shape == (1, 100)
     np.testing.assert_array_equal(noisy, pairs[1][0])
+
+
+class TestSyntheticHardProfile:
+    """The 'hard' quality-proxy corpus (multi-type noise, wider SNR, reverb
+    on the speech contribution; VERDICT r3 missing #1)."""
+
+    def test_default_profile_unchanged(self):
+        from speech_enhancement_clskd_tpu.data import (
+            SyntheticEnhancementDataset,
+        )
+
+        a = SyntheticEnhancementDataset(size=4, segment=0.5, seed=3)
+        b = SyntheticEnhancementDataset(size=4, segment=0.5, seed=3,
+                                        profile="default")
+        ma, sa = a[1]
+        mb, sb = b[1]
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(sa, sb)
+
+    def test_hard_profile_finite_and_harder(self):
+        from speech_enhancement_clskd_tpu.data import (
+            SyntheticEnhancementDataset,
+        )
+
+        ds = SyntheticEnhancementDataset(size=64, segment=0.5, seed=5,
+                                         profile="hard")
+        mses, count_differ = [], 0
+        base = SyntheticEnhancementDataset(size=64, segment=0.5, seed=5)
+        for i in range(16):
+            mix, src = ds[i]
+            assert np.isfinite(mix).all() and np.isfinite(src).all()
+            assert np.abs(mix).max() <= 1.0 + 1e-6
+            mses.append(float(np.mean((mix - src[0]) ** 2)))
+            if not np.array_equal(mix, base[i][0]):
+                count_differ += 1
+        # the hard corpus is actually different and actually noisy
+        assert count_differ >= 12
+        assert np.mean(mses) > 0
+        import pytest
+
+        with pytest.raises(ValueError):
+            SyntheticEnhancementDataset(profile="nonsense")
