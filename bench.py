@@ -58,7 +58,12 @@ def main():
     ap.add_argument("--scan-steps", type=int, default=8,
                     help="K optimizer steps fused into one dispatch")
     ap.add_argument("--rounds", type=int, default=4)
-    ap.add_argument("--batch", type=int, default=32)
+    # 64 is the measured per-chip sweet spot on v5e (BENCH r4: 468.9 vs
+    # 428.3 audio-s/s at 32).  The reference's batch 32 (config.py:42) was
+    # a GPU-memory artifact; it fits here since the round-4 conv1-fold
+    # stopped materializing the ABF mid-channel maps.  --batch 32 reproduces
+    # the reference shape.
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--abf-remat", action="store_true",
                     help="recompute ABF blocks in backward (less HBM traffic)")
     ap.add_argument("--conv-pallas", action="store_true",
