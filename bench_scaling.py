@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch-per-device", type=int, default=4)
     ap.add_argument("--segment", type=float, default=3.0)
+    ap.add_argument("--sizes", type=str, default=None,
+                    help="comma-separated mesh sizes (default: 1,2,4,.. <= n_dev)")
     args = ap.parse_args()
 
     import os
@@ -48,7 +50,10 @@ def main():
     from speech_enhancement_clskd_tpu.train import Trainer
 
     n_dev = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    if args.sizes:
+        sizes = [int(x) for x in args.sizes.split(",") if int(x) <= n_dev]
+    else:
+        sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
     sr = 16000
     seg = int(args.segment * sr)
     rng = np.random.default_rng(0)
