@@ -96,24 +96,34 @@ class PretrainTrainer:
         with self.mesh:
             return self._step_fn(state, mix, clean)
 
+    def make_datasets(self):
+        """(train, val) datasets from cfg.data — honors synthetic_profile
+        (round-5 regression: the profile used to be silently dropped here)."""
+        cfg = self.cfg
+        d = cfg.data
+        if d.synthetic:
+            train_ds = SyntheticEnhancementDataset(
+                size=d.synthetic_size, segment=d.segment or 3.0,
+                sample_rate=d.sample_rate, seed=cfg.seed,
+                profile=d.synthetic_profile)
+            val_ds = SyntheticEnhancementDataset(
+                size=max(8, d.synthetic_size // 16), segment=d.segment or 3.0,
+                sample_rate=d.sample_rate, seed=cfg.seed + 10_000,
+                profile=d.synthetic_profile)
+        else:
+            train_ds = LibriMixDataset(d.train_dir, d.task, d.sample_rate,
+                                       d.n_src, d.segment)
+            val_ds = LibriMixDataset(d.valid_dir, d.task, d.sample_rate,
+                                     d.n_src, d.segment)
+        return train_ds, val_ds
+
     def fit(self, state=None, epochs: Optional[int] = None, log_fn=print,
             checkpoint_manager=None) -> Tuple[dict, Dict[str, float]]:
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         d = cfg.data
-        if d.synthetic:
-            train_ds = SyntheticEnhancementDataset(
-                size=d.synthetic_size, segment=d.segment or 3.0,
-                sample_rate=d.sample_rate, seed=cfg.seed)
-            val_ds = SyntheticEnhancementDataset(
-                size=max(8, d.synthetic_size // 16), segment=d.segment or 3.0,
-                sample_rate=d.sample_rate, seed=cfg.seed + 10_000)
-        else:
-            train_ds = LibriMixDataset(d.train_dir, d.task, d.sample_rate,
-                                       d.n_src, d.segment)
-            val_ds = LibriMixDataset(d.valid_dir, d.task, d.sample_rate,
-                                     d.n_src, d.segment)
+        train_ds, val_ds = self.make_datasets()
         loader = make_loader(train_ds, d.batch_size, shuffle=True, seed=cfg.seed)
         bs = batch_sharding(self.mesh)
         history: Dict[str, float] = {}

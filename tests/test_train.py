@@ -254,3 +254,20 @@ def test_validate_single_output_model_on_two_source_batch():
     )
     m, _ = tr.eval_step(st, mix, sources)
     assert np.isfinite(m["si_sdr"]) and np.isfinite(m["stoi"])
+
+
+def test_synthetic_profile_plumbs_through_both_trainers():
+    """Round-5 regression: PretrainTrainer used to drop
+    data.synthetic_profile (the round-4 'hard corpus' pretrain silently ran
+    on the default profile)."""
+    import dataclasses as _dc
+
+    from speech_enhancement_clskd_tpu.train.pretrain import PretrainTrainer
+
+    cfg = tiny_cfg()
+    cfg = _dc.replace(cfg, data=_dc.replace(cfg.data,
+                                            synthetic_profile="hard"))
+    tr, va = Trainer(cfg).make_datasets()
+    assert tr.profile == "hard" and va.profile == "hard"
+    tr, va = PretrainTrainer(cfg).make_datasets()
+    assert tr.profile == "hard" and va.profile == "hard"
