@@ -160,6 +160,16 @@ class DistillConfig:
     # round-4 byte-reduction plan (docs/PERF.md).  Auto-gated on TPU
     # availability and block geometry; falls back to the XLA path otherwise.
     abf_block_pallas: bool = False
+    # SPKD Gram scope: 1 = one global Gram over the full batch (reference
+    # framework.py:161-172 semantics).  >1 = split the batch into this many
+    # groups and average per-group Gram losses.  Set to the mesh data-axis
+    # size for multi-chip training: the global Gram couples all utterances,
+    # forcing GSPMD to all-gather every tapped activation (the dominant ICI
+    # traffic of the DP CLSKD step — scripts/comm_model.py); per-shard Grams
+    # keep the step collective-free except the ~5 MB grad psum, and at
+    # per-chip batch 32 reproduce the single-GPU reference's batch-32 Gram
+    # exactly.
+    spkd_gram_groups: int = 1
 
 
 @dataclass(frozen=True)

@@ -67,24 +67,25 @@ def distill_loss(
     base = base_loss(s_out.wav, clean, dcfg)
     logs["base_loss"] = base
 
+    gg = dcfg.spkd_gram_groups
     if strategy == "clskd":
         enc = sum(
-            spkd_loss(sf, tf, "batchmean")
+            spkd_loss(sf, tf, "batchmean", groups=gg)
             for sf, tf in zip(fused_encoder, t_out.taps.encoder)
         )
         dec = sum(
-            spkd_loss(sf, tf, "batchmean")
+            spkd_loss(sf, tf, "batchmean", groups=gg)
             for sf, tf in zip(fused_decoder, t_out.taps.decoder)
         )
         # LSTM taps are [T, B, F]; gram over batch axis 1 directly (no
         # materialized swapaxes — the contraction runs in native layout)
         lr = spkd_loss(
             s_out.taps.lstm_real, t_out.taps.lstm_real, "batchmean",
-            batch_axis=1,
+            batch_axis=1, groups=gg,
         )
         li = spkd_loss(
             s_out.taps.lstm_imag, t_out.taps.lstm_imag, "batchmean",
-            batch_axis=1,
+            batch_axis=1, groups=gg,
         )
         logs.update(enc_loss=enc, dec_loss=dec, clstm_real_loss=lr,
                     clstm_imag_loss=li)
@@ -114,7 +115,7 @@ def distill_loss(
                     clstm_imag_loss=li)
         distill = enc + dec + lr + li
     elif strategy == "spkd":
-        distill = spkd_loss(s_out.wav, t_out.wav, "batchmean")
+        distill = spkd_loss(s_out.wav, t_out.wav, "batchmean", groups=gg)
         logs["spkd_loss"] = distill
     elif strategy == "mse":
         distill = jnp.mean((s_out.wav - t_out.wav) ** 2)

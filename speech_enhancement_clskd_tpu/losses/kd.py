@@ -65,12 +65,38 @@ def _norm_l1(g: jnp.ndarray) -> jnp.ndarray:
     return g / n
 
 
+def _grouped_gram_l1(z: jnp.ndarray, batch_axis: int, groups: int):
+    """[G, b, b] row-L1-normalized Grams of the batch axis split into
+    ``groups`` contiguous groups of b = B/groups, contracting in native
+    layout (no relayout: splitting an axis is a free reshape)."""
+    b_total = z.shape[batch_axis]
+    if b_total % groups:
+        raise ValueError(f"batch {b_total} not divisible into {groups} groups")
+    shape = (
+        z.shape[:batch_axis] + (groups, b_total // groups)
+        + z.shape[batch_axis + 1:]
+    )
+    zg = z.reshape(shape)
+    contract = tuple(
+        i for i in range(zg.ndim) if i not in (batch_axis, batch_axis + 1)
+    )
+    g = jax.lax.dot_general(
+        zg, zg,
+        dimension_numbers=((contract, contract),
+                           ((batch_axis,), (batch_axis,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, b, b]
+    norm = jnp.maximum(jnp.sum(jnp.abs(g), axis=2, keepdims=True), 1e-12)
+    return g / norm
+
+
 def spkd_loss(
     student: jnp.ndarray,
     teacher: jnp.ndarray,
     reduction: str = "batchmean",
     use_pallas: Optional[bool] = None,
     batch_axis: int = 0,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """||G_t - G_s||_F^2, optionally / B^2 (framework.py:161-172).
 
@@ -78,7 +104,25 @@ def spkd_loss(
     True/False forces the path.  ``batch_axis``: which axis is the Gram
     batch (e.g. 1 for [T, B, F] LSTM taps) — contraction happens in the
     input's native layout either way.
+
+    ``groups``: split the batch into G contiguous groups and average the
+    per-group Gram losses (G=1 is the reference's single global Gram).
+    Distributed rationale (scripts/comm_model.py): a GLOBAL Gram couples
+    every utterance with every other, so under data parallelism GSPMD must
+    all-gather every tapped activation — the dominant per-step ICI traffic
+    of the CLSKD step (the grad psum is ~5 MB; the gram all-gathers are
+    ~100x that).  With ``groups`` = the data-axis size each Gram stays on
+    its shard and the all-gathers vanish; per-shard scope at per-chip batch
+    32 matches the single-GPU reference's batch-32 Gram semantics exactly.
     """
+    if groups > 1:
+        g_s = _grouped_gram_l1(student, batch_axis, groups)
+        g_t = _grouped_gram_l1(teacher, batch_axis, groups)
+        loss = jnp.sum((g_t - g_s) ** 2)
+        if reduction == "batchmean":
+            b_local = teacher.shape[batch_axis] // groups
+            return loss / (groups * b_local ** 2)
+        return loss
     if use_pallas is None:
         from ..ops.pallas.gram import spkd_pallas_available
 

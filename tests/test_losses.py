@@ -216,3 +216,39 @@ def test_loss_modes_with_mel(wavs, rng):
             )
         )
         assert np.isfinite(val), mode
+
+
+def test_spkd_grouped_equals_mean_of_group_losses():
+    """groups=G == mean over G contiguous sub-batches of the reference loss
+    (and batch_axis=1 LSTM layout handled without transposes)."""
+    import numpy as np
+
+    from speech_enhancement_clskd_tpu.losses.kd import spkd_loss
+
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.standard_normal((8, 37)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((8, 37)).astype(np.float32))
+    got = float(spkd_loss(s, t, "batchmean", use_pallas=False, groups=4))
+    want = np.mean([
+        float(spkd_loss(s[i:i + 2], t[i:i + 2], "batchmean",
+                        use_pallas=False))
+        for i in range(0, 8, 2)
+    ])
+    assert abs(got - want) < 1e-6, (got, want)
+
+    # LSTM tap layout [T, B, F], batch axis 1
+    s3 = jnp.asarray(rng.standard_normal((5, 8, 7)).astype(np.float32))
+    t3 = jnp.asarray(rng.standard_normal((5, 8, 7)).astype(np.float32))
+    got3 = float(spkd_loss(s3, t3, "batchmean", use_pallas=False,
+                           batch_axis=1, groups=2))
+    want3 = np.mean([
+        float(spkd_loss(s3[:, i:i + 4], t3[:, i:i + 4], "batchmean",
+                        use_pallas=False, batch_axis=1))
+        for i in range(0, 8, 4)
+    ])
+    assert abs(got3 - want3) < 1e-6, (got3, want3)
+
+    # groups=1 goes through the original single-gram path
+    g1 = float(spkd_loss(s, t, "batchmean", use_pallas=False, groups=1))
+    ref = float(spkd_loss(s, t, "batchmean", use_pallas=False))
+    assert g1 == ref

@@ -165,3 +165,33 @@ def test_sharded_train_step_dccrnet_family():
     )
     st, logs = tr.train_step(st, mix, mix * 0.9)
     assert np.isfinite(float(logs["train_loss"]))
+
+
+def test_dp_local_gram_matches_single_device():
+    """spkd_gram_groups = data-axis size: the per-shard Grams must give the
+    SAME loss sharded (8-way DP) as unsharded — the grouping is over
+    contiguous batch blocks, which is exactly the DP shard layout, so the
+    value is placement-independent while the gram all-gathers disappear
+    from the compiled HLO (scripts/comm_model.py)."""
+    rng = np.random.default_rng(5)
+    mix_np = rng.standard_normal((8, 8000)).astype(np.float32) * 0.1
+
+    def run(mesh_cfg):
+        cfg = TrainConfig(
+            teacher=DCCRNConfig(name="t", kernel_num=(8, 16), rnn_units=16),
+            student=DCCRNConfig(name="s", kernel_num=(4, 8), rnn_units=8),
+            data=DataConfig(synthetic=True, synthetic_size=16, segment=0.5,
+                            batch_size=8),
+            distill=DistillConfig(strategy="clskd", spkd_gram_groups=8),
+            mesh=mesh_cfg,
+        )
+        tr = Trainer(cfg)
+        st = tr.init_state(rng=jax.random.PRNGKey(7))
+        bs = batch_sharding(tr.mesh)
+        mix = jax.device_put(jnp.asarray(mix_np), bs)
+        _, logs = tr.train_step(st, mix, mix * 0.9)
+        return float(logs["train_loss"])
+
+    l1 = run(MeshConfig(data=1, model=1))
+    l8 = run(MeshConfig(data=8, model=1))
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
