@@ -72,6 +72,12 @@ def main():
                     help="opt-in Pallas fused resize+attention in ABF")
     ap.add_argument("--block-pallas", action="store_true",
                     help="whole-ABF-block fused kernel (docs/PERF.md round 4)")
+    ap.add_argument("--bn2-fold", action="store_true",
+                    help="fold bn2 affine into per-channel SPKD Grams "
+                         "(round-5 byte cut; losses/kd.spkd_loss_affine)")
+    ap.add_argument("--gram-groups", type=int, default=1,
+                    help="DistillConfig.spkd_gram_groups (sharding-local "
+                         "SPKD Grams; 1 = reference global Gram)")
     ap.add_argument("--trace-dir", default=None,
                     help="dump a jax.profiler trace of one round here")
     args = ap.parse_args()
@@ -109,7 +115,9 @@ def main():
                               abf_remat=args.abf_remat,
                               abf_conv_pallas=args.conv_pallas,
                               abf_attfuse_pallas=args.attfuse_pallas,
-                              abf_block_pallas=args.block_pallas),
+                              abf_block_pallas=args.block_pallas,
+                              spkd_bn2_fold=args.bn2_fold,
+                              spkd_gram_groups=args.gram_groups),
         mesh=MeshConfig(data=-1, model=1),
     )
     trainer = Trainer(cfg)
@@ -193,6 +201,8 @@ def main():
         "abf_remat": args.abf_remat,
         "abf_pallas": [args.conv_pallas, args.attfuse_pallas],
         "abf_block_pallas": args.block_pallas,
+        "bn2_fold": args.bn2_fold,
+        "gram_groups": args.gram_groups,
         "timing": "host-readback fence (block_until_ready is a no-op on axon)",
     }
     if flops_per_step:

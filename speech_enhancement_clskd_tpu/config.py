@@ -170,6 +170,10 @@ class DistillConfig:
     # per-chip batch 32 reproduce the single-GPU reference's batch-32 Gram
     # exactly.
     spkd_gram_groups: int = 1
+    # Fold the ABF bn2 affine into per-channel SPKD Grams instead of
+    # materializing the normalized fused map (losses/kd.spkd_loss_affine;
+    # clskd only).  Byte cut, same math — measured in bench.py --bn2-fold.
+    spkd_bn2_fold: bool = False
 
 
 @dataclass(frozen=True)

@@ -327,6 +327,11 @@ class ABF(nn.Module):
     conv_pallas: bool = False
     attfuse_pallas: bool = False
     block_pallas: bool = False  # whole-block fused kernel (ops/pallas/abf_block)
+    # return (raw conv2 output, bn2 a, bn2 b) instead of the normalized map,
+    # so an SPKD consumer can fold the affine into per-channel Grams and the
+    # normalized map never materializes (losses/kd.spkd_loss_affine;
+    # DistillConfig.spkd_bn2_fold)
+    bn2_affine_out: bool = False
 
     @nn.compact
     def __call__(
@@ -388,6 +393,10 @@ class ABF(nn.Module):
                 xf, out_raw = abf_block(
                     x, None, w1a_f.astype(dt), b0, dummy, dummy, dummy, w2k
                 )
+            if self.bn2_affine_out:
+                a2, b2 = BatchNorm(name="bn2")(
+                    out_raw, training=training, return_affine=True)
+                return (out_raw, a2, b2), xf
             out = BatchNorm(name="bn2")(out_raw, training=training)
             return out, xf
         if fuse:
@@ -403,6 +412,10 @@ class ABF(nn.Module):
             )
         out = Conv3x3(self.out_channels, kernel_init=kaiming, dtype=dt,
                       use_pallas=self.conv_pallas, name="conv2")(x)
+        if self.bn2_affine_out:
+            a2, b2 = BatchNorm(name="bn2")(
+                out, training=training, return_affine=True)
+            return (out, a2, b2), x
         out = BatchNorm(name="bn2")(out, training=training)
         return out, x
 
@@ -423,6 +436,7 @@ class ReviewKD(nn.Module):
     conv_pallas: bool = False  # opt-in Pallas kernels (see DistillConfig)
     attfuse_pallas: bool = False
     block_pallas: bool = False
+    bn2_affine_out: bool = False  # see ABF.bn2_affine_out
 
     @nn.compact
     def __call__(
@@ -440,7 +454,8 @@ class ReviewKD(nn.Module):
                 self.mid_channels, outs_ch[i], fuse=i > 0,
                 conv_pallas=self.conv_pallas,
                 attfuse_pallas=self.attfuse_pallas,
-                block_pallas=self.block_pallas, name=f"abf{i}"
+                block_pallas=self.block_pallas,
+                bn2_affine_out=self.bn2_affine_out, name=f"abf{i}"
             )(f, res, training)
             results.append(out)
         return results[::-1] if self.reverse else results

@@ -22,7 +22,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from ..config import DistillConfig
-from ..losses.kd import hcl, spkd_loss
+from ..losses.kd import hcl, spkd_loss, spkd_loss_affine
 from ..losses.spectral import multi_resolution_stft_loss
 from ..models.dccrn import DCCRNOutput
 
@@ -68,13 +68,22 @@ def distill_loss(
     logs["base_loss"] = base
 
     gg = dcfg.spkd_gram_groups
+
+    def _sp(sf, tf):
+        # bn2-folded ABF output: (raw conv2 map, a, b) — the affine is
+        # folded into per-channel Grams (DistillConfig.spkd_bn2_fold)
+        if isinstance(sf, tuple):
+            return spkd_loss_affine(sf[0], sf[1], sf[2], tf, "batchmean",
+                                    groups=gg)
+        return spkd_loss(sf, tf, "batchmean", groups=gg)
+
     if strategy == "clskd":
         enc = sum(
-            spkd_loss(sf, tf, "batchmean", groups=gg)
+            _sp(sf, tf)
             for sf, tf in zip(fused_encoder, t_out.taps.encoder)
         )
         dec = sum(
-            spkd_loss(sf, tf, "batchmean", groups=gg)
+            _sp(sf, tf)
             for sf, tf in zip(fused_decoder, t_out.taps.decoder)
         )
         # LSTM taps are [T, B, F]; gram over batch axis 1 directly (no

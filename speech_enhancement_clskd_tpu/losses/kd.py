@@ -154,6 +154,61 @@ def spkd_loss(
     return loss
 
 
+def spkd_loss_affine(
+    student_raw: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    teacher: jnp.ndarray,
+    reduction: str = "batchmean",
+    groups: int = 1,
+) -> jnp.ndarray:
+    """SPKD loss with the student's bn2 per-channel affine UNAPPLIED.
+
+    The Gram of ``xhat = y*a + b`` (per-channel affine over the last axis)
+    decomposes over per-channel Grams of the raw map y (docs/PERF.md
+    round-5 bn2 fold)::
+
+        G = sum_c a_c^2 S_c  +  u 1^T + 1 u^T  +  m * sum_c b_c^2
+        S_c[i,j] = sum_dt y[i,:,:,c] y[j,:,:,c],   u = r (a*b),
+        r[i,c] = sum_dt y[i,:,:,c],                m = D*T
+
+    so the normalized map never materializes in HBM (the round-3 trace
+    charged the bn2-apply write + gram re-read ~4 ms/step).  Same FLOPs as
+    the single big Gram — the contraction is just batched over C.
+
+    ``groups > 1`` falls back to the materialized path (the fold's byte
+    saving is a single-chip concern; local grams are the multi-chip path).
+    """
+    if groups > 1:
+        xhat = (student_raw * a.astype(student_raw.dtype)
+                + b.astype(student_raw.dtype))
+        return spkd_loss(xhat, teacher, reduction, use_pallas=False,
+                         groups=groups)
+    af, bf = a.astype(jnp.float32), b.astype(jnp.float32)
+    contract = tuple(range(1, student_raw.ndim - 1))
+    ch_axis = student_raw.ndim - 1
+    s_c = jax.lax.dot_general(
+        student_raw, student_raw,
+        dimension_numbers=((contract, contract), ((ch_axis,), (ch_axis,))),
+        preferred_element_type=jnp.float32,
+    )  # [C, B, B]
+    r = jnp.sum(student_raw.astype(jnp.float32), axis=contract)  # [B, C]
+    m = 1
+    for ax in contract:
+        m *= student_raw.shape[ax]
+    u = r @ (af * bf)  # [B]
+    g = (
+        jnp.einsum("c,cij->ij", af * af, s_c)
+        + u[:, None] + u[None, :] + m * jnp.sum(bf * bf)
+    )
+    g_s = _norm_l1(g)
+    g_t = _gram_l1(teacher, 0)
+    loss = jnp.sum((g_t - g_s) ** 2)
+    if reduction == "batchmean":
+        return loss / (teacher.shape[0] ** 2)
+    return loss
+
+
 def _adaptive_avg_pool2d(x: jnp.ndarray, out: int) -> jnp.ndarray:
     """torch adaptive_avg_pool2d for the pooled HCL levels (square out)."""
     *lead, h, w = x.shape

@@ -90,7 +90,9 @@ class Trainer:
             rm = cfg.distill.abf_remat
             kp = dict(conv_pallas=cfg.distill.abf_conv_pallas,
                       attfuse_pallas=cfg.distill.abf_attfuse_pallas,
-                      block_pallas=cfg.distill.abf_block_pallas)
+                      block_pallas=cfg.distill.abf_block_pallas,
+                      bn2_affine_out=(cfg.distill.spkd_bn2_fold
+                                      and self.strategy == "clskd"))
             self.abf_enc = ReviewKD(out_channels=enc_ch, mid_channels=mid,
                                     reverse=True, remat=rm, **kp)
             self.abf_dec = ReviewKD(out_channels=dec_ch, mid_channels=mid,

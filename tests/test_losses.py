@@ -252,3 +252,27 @@ def test_spkd_grouped_equals_mean_of_group_losses():
     g1 = float(spkd_loss(s, t, "batchmean", use_pallas=False, groups=1))
     ref = float(spkd_loss(s, t, "batchmean", use_pallas=False))
     assert g1 == ref
+
+
+def test_spkd_affine_fold_matches_materialized():
+    """bn2-folded SPKD (per-channel Grams of the raw map) == SPKD of the
+    materialized affine-normalized map."""
+    import numpy as np
+
+    from speech_enhancement_clskd_tpu.losses.kd import (
+        spkd_loss, spkd_loss_affine,
+    )
+
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.standard_normal((4, 5, 6, 3)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal(3).astype(np.float32) * 0.5 + 1.0)
+    b = jnp.asarray(rng.standard_normal(3).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((4, 5, 6, 3)).astype(np.float32))
+    want = float(spkd_loss(y * a + b, t, "batchmean", use_pallas=False))
+    got = float(spkd_loss_affine(y, a, b, t, "batchmean"))
+    assert abs(got - want) < 1e-5 * max(1.0, abs(want)), (got, want)
+    # grouped fallback path
+    want2 = float(spkd_loss(y * a + b, t, "batchmean", use_pallas=False,
+                            groups=2))
+    got2 = float(spkd_loss_affine(y, a, b, t, "batchmean", groups=2))
+    assert abs(got2 - want2) < 1e-5 * max(1.0, abs(want2)), (got2, want2)

@@ -271,3 +271,20 @@ def test_synthetic_profile_plumbs_through_both_trainers():
     assert tr.profile == "hard" and va.profile == "hard"
     tr, va = PretrainTrainer(cfg).make_datasets()
     assert tr.profile == "hard" and va.profile == "hard"
+
+
+def test_clskd_bn2_fold_loss_parity(batch):
+    """spkd_bn2_fold must not change the CLSKD loss value (the affine is
+    folded into per-channel Grams, not dropped)."""
+    mix, clean = batch
+
+    def loss_with(fold):
+        cfg = tiny_cfg(distill=DistillConfig(strategy="clskd",
+                                             spkd_bn2_fold=fold))
+        tr = Trainer(cfg)
+        st = tr.init_state(rng=jax.random.PRNGKey(21))
+        _, logs = tr.train_step(st, mix, clean)
+        return float(logs["train_loss"])
+
+    l0, l1 = loss_with(False), loss_with(True)
+    assert abs(l0 - l1) < 1e-4 * max(1.0, abs(l0)), (l0, l1)
