@@ -460,11 +460,26 @@ class Trainer:
         metric_writer=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         cfg = self.cfg
+        resumed = state is not None
         if state is None:
             state = self.init_state(teacher_variables=teacher_variables)
         train_ds, val_ds = self.make_datasets()
         loader = make_loader(train_ds, cfg.data.batch_size, shuffle=True,
                              seed=cfg.seed)
+        total_epochs = epochs or cfg.max_epochs
+        start_epoch = 0
+        if resumed:
+            # resume-aware epoch accounting (the reference's Lightning
+            # trainer restores the epoch counter from the ckpt): derive the
+            # completed-epoch count from the optimizer step so
+            # ``--resume max_epochs=N`` finishes the run instead of
+            # training N extra epochs.
+            steps_per_epoch = max(
+                1, len(train_ds) // max(1, cfg.data.batch_size))
+            start_epoch = min(
+                int(jax.device_get(state.step)) // steps_per_epoch,
+                total_epochs,
+            )
         bs = batch_sharding(self.mesh)
         sbs = stacked_batch_sharding(self.mesh)
         K = max(1, cfg.scan_steps)
@@ -476,7 +491,7 @@ class Trainer:
         # its semantics while keeping exactly ONE compiled program in scan
         # mode.
         pending: list = []
-        for epoch in range(epochs or cfg.max_epochs):
+        for epoch in range(start_epoch, total_epochs):
             t0 = time.time()
             n = 0
 

@@ -288,3 +288,20 @@ def test_clskd_bn2_fold_loss_parity(batch):
 
     l0, l1 = loss_with(False), loss_with(True)
     assert abs(l0 - l1) < 1e-4 * max(1.0, abs(l0)), (l0, l1)
+
+
+def test_fit_resume_epoch_accounting():
+    """Passing a trained state back into fit() must continue the epoch
+    count derived from state.step, not restart from epoch 0 (the --resume
+    path trains to max_epochs TOTAL, like the reference's Lightning
+    trainer)."""
+    cfg = tiny_cfg()  # synthetic_size=16, batch 4 -> 4 steps/epoch
+    tr = Trainer(cfg)
+    st, _ = tr.fit(epochs=2, log_fn=lambda *_: None)
+    assert int(jax.device_get(st.step)) == 8
+    # resume at epoch 2 of 2: nothing left to do
+    st2, _ = tr.fit(state=st, epochs=2, log_fn=lambda *_: None)
+    assert int(jax.device_get(st2.step)) == 8
+    # resume at epoch 2 of 3: exactly one more epoch
+    st3, _ = tr.fit(state=st2, epochs=3, log_fn=lambda *_: None)
+    assert int(jax.device_get(st3.step)) == 12
