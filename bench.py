@@ -47,7 +47,7 @@ def _peak_flops(device) -> float:
     return 197e12
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
@@ -80,7 +80,7 @@ def main():
                          "SPKD Grams; 1 = reference global Gram)")
     ap.add_argument("--trace-dir", default=None,
                     help="dump a jax.profiler trace of one round here")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
