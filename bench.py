@@ -72,6 +72,9 @@ def main(argv=None):
                     help="opt-in Pallas fused resize+attention in ABF")
     ap.add_argument("--block-pallas", action="store_true",
                     help="whole-ABF-block fused kernel (docs/PERF.md round 4)")
+    ap.add_argument("--ninedot", action="store_true",
+                    help="ABF 3x3 conv as 9 shifted dot_generals "
+                         "(layout experiment, docs/PERF.md round 5)")
     ap.add_argument("--bn2-fold", action="store_true",
                     help="fold bn2 affine into per-channel SPKD Grams "
                          "(round-5 byte cut; losses/kd.spkd_loss_affine)")
@@ -114,6 +117,7 @@ def main(argv=None):
                               taps_dtype=args.taps_dtype or args.dtype,
                               abf_remat=args.abf_remat,
                               abf_conv_pallas=args.conv_pallas,
+                              abf_conv_ninedot=args.ninedot,
                               abf_attfuse_pallas=args.attfuse_pallas,
                               abf_block_pallas=args.block_pallas,
                               spkd_bn2_fold=args.bn2_fold,
@@ -201,6 +205,7 @@ def main(argv=None):
         "abf_remat": args.abf_remat,
         "abf_pallas": [args.conv_pallas, args.attfuse_pallas],
         "abf_block_pallas": args.block_pallas,
+        "ninedot": args.ninedot,
         "bn2_fold": args.bn2_fold,
         "gram_groups": args.gram_groups,
         "timing": "host-readback fence (block_until_ready is a no-op on axon)",

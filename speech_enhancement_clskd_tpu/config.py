@@ -154,6 +154,9 @@ class DistillConfig:
     # surrounding fusions.  Kept for geometries/backends where the layout
     # trade goes the other way; both paths are golden-tested identical.
     abf_conv_pallas: bool = False
+    # 3x3 conv as 9 shifted dot_generals (all-dot layout, no conv op) —
+    # round-5 layout experiment, measured in bench.py --ninedot
+    abf_conv_ninedot: bool = False
     abf_attfuse_pallas: bool = False
     # Whole-ABF-block fused kernel (ops/pallas/abf_block.py): fold-blend +
     # 3x3 conv in one custom call with a hand-derived block VJP — the

@@ -36,7 +36,12 @@ from ..ops.pallas.attfuse import (
     attfuse_available,
     attfuse_dispatchable,
 )
-from ..ops.pallas.conv3x3 import _conv3x3_xla, conv3x3, conv3x3_available
+from ..ops.pallas.conv3x3 import (
+    _conv3x3_ninedot,
+    _conv3x3_xla,
+    conv3x3,
+    conv3x3_available,
+)
 
 
 def _nearest_axis(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
@@ -304,6 +309,8 @@ class Conv3x3(nn.Module):
     dtype: Optional[jnp.dtype] = None
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
     use_pallas: bool = False
+    use_ninedot: bool = False  # 9 shifted dot_generals instead of the conv
+    # op — kills the conv/einsum relayout flip-flop (round-5 experiment)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -314,6 +321,8 @@ class Conv3x3(nn.Module):
         x, kernel = x.astype(dt), kernel.astype(dt)
         if self.use_pallas and conv3x3_available():
             return conv3x3(x, kernel)
+        if self.use_ninedot:
+            return _conv3x3_ninedot(x, kernel)
         return _conv3x3_xla(x, kernel)
 
 
@@ -325,6 +334,7 @@ class ABF(nn.Module):
     out_channels: int
     fuse: bool
     conv_pallas: bool = False
+    conv_ninedot: bool = False
     attfuse_pallas: bool = False
     block_pallas: bool = False  # whole-block fused kernel (ops/pallas/abf_block)
     # return (raw conv2 output, bn2 a, bn2 b) instead of the normalized map,
@@ -411,7 +421,8 @@ class ABF(nn.Module):
                 * a.astype(dt) + b0.astype(dt)
             )
         out = Conv3x3(self.out_channels, kernel_init=kaiming, dtype=dt,
-                      use_pallas=self.conv_pallas, name="conv2")(x)
+                      use_pallas=self.conv_pallas,
+                      use_ninedot=self.conv_ninedot, name="conv2")(x)
         if self.bn2_affine_out:
             a2, b2 = BatchNorm(name="bn2")(
                 out, training=training, return_affine=True)
@@ -434,6 +445,7 @@ class ReviewKD(nn.Module):
     remat: bool = False  # checkpoint each ABF block: fused maps (teacher-
     # sized, the memory hot spot) are recomputed in backward instead of stored
     conv_pallas: bool = False  # opt-in Pallas kernels (see DistillConfig)
+    conv_ninedot: bool = False
     attfuse_pallas: bool = False
     block_pallas: bool = False
     bn2_affine_out: bool = False  # see ABF.bn2_affine_out
@@ -453,6 +465,7 @@ class ReviewKD(nn.Module):
             out, res = block(
                 self.mid_channels, outs_ch[i], fuse=i > 0,
                 conv_pallas=self.conv_pallas,
+                conv_ninedot=self.conv_ninedot,
                 attfuse_pallas=self.attfuse_pallas,
                 block_pallas=self.block_pallas,
                 bn2_affine_out=self.bn2_affine_out, name=f"abf{i}"

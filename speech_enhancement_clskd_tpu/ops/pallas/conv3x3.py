@@ -241,6 +241,27 @@ def _conv3x3_xla(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _conv3x3_ninedot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3x3 SAME conv as 9 shifted 1x1 contractions (round-5 layout
+    experiment, docs/PERF.md): every op is a dot_general in the einsum-
+    native [B, D, T, C] layout, so the relayout copies XLA inserts between
+    ``conv_general_dilated``'s preferred layout and the surrounding einsum
+    ops (the round-3 trace's 44.5 ms "data formatting" row) cannot occur.
+    The trade: the padded input is read once per offset (9x) instead of
+    once — wins only if the relayout copies cost more than 8 extra
+    streams of x through the fusion."""
+    b, d, t, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for di in range(3):
+        for dj in range(3):
+            sl = jax.lax.slice(
+                xp, (0, di, dj, 0), (b, di + d, dj + t, c))
+            y = jnp.einsum("bdtc,co->bdto", sl, w[di, dj].astype(x.dtype))
+            out = y if out is None else out + y
+    return out
+
+
 def conv3x3(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
     """3x3 SAME conv of ``x`` [B, D, T, C] with ``w`` [3, 3, C, O].
 

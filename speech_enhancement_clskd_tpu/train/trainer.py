@@ -89,6 +89,7 @@ class Trainer:
             mid = cfg.distill.abf_mid_channels
             rm = cfg.distill.abf_remat
             kp = dict(conv_pallas=cfg.distill.abf_conv_pallas,
+                      conv_ninedot=cfg.distill.abf_conv_ninedot,
                       attfuse_pallas=cfg.distill.abf_attfuse_pallas,
                       block_pallas=cfg.distill.abf_block_pallas,
                       bn2_affine_out=(cfg.distill.spkd_bn2_fold

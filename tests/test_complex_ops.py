@@ -200,3 +200,29 @@ def test_cprelu_parts(rng):
     y = np.asarray(mod.apply(params, jnp.asarray(x)))
     expected = np.where(x >= 0, x, 0.25 * x)
     np.testing.assert_allclose(y, expected, atol=1e-6)
+
+
+def test_conv3x3_ninedot_matches_xla():
+    """The 9-dot all-dot_general conv form equals the XLA conv op."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from speech_enhancement_clskd_tpu.ops.pallas.conv3x3 import (
+        _conv3x3_ninedot, _conv3x3_xla,
+    )
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 8, 11, 5)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_conv3x3_ninedot(x, w)),
+        np.asarray(_conv3x3_xla(x, w)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # gradients agree too (the experiment must be drop-in for training)
+    import jax
+
+    g1 = jax.grad(lambda x: _conv3x3_ninedot(x, w).sum())(x)
+    g2 = jax.grad(lambda x: _conv3x3_xla(x, w).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
